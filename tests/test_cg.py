@@ -1,0 +1,135 @@
+"""Reconstruction tests for the Dai-Yuan CG solver.
+
+Mirrors the reference's synthetic reconstruction smoke tests (SURVEY.md SS4
+item 2) and the acceptance configs BASELINE.json:8-10 at test-friendly
+sizes: simulate data from a known object/probe, reconstruct from a flat
+start, assert the objective decreases monotonically (modulo the line
+search's gamma=0 stalls) and the reconstruction approaches the truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tikejax import Geometry
+from tikejax.models import make_probe, make_problem
+from tikejax.solvers import CGOptions, run
+
+
+def relative_object_error(psi, psi_true):
+    """Global-phase-invariant relative error restricted to the illuminated
+    interior (the border of the object is never touched by the probe)."""
+    m = psi.shape[-1] // 8
+    a = psi[..., m:-m, m:-m].ravel()
+    b = psi_true[..., m:-m, m:-m].ravel()
+    phase = jnp.vdot(a, b)
+    phase = phase / jnp.abs(phase)
+    return float(jnp.linalg.norm(a * phase - b) / jnp.linalg.norm(b))
+
+
+def setup_problem(rng, g, **kw):
+    psi_true, scan, prb, data = make_problem(rng, g, dtype=jnp.complex64,
+                                             **kw)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+    return psi_true, scan, prb, data, psi0
+
+
+GEOM_SMALL = Geometry(nz=96, n=96, nscan=64, ndet=32, nprb=24)
+
+
+def assert_decreasing(minf, frac=0.9):
+    """Objective decreases across iterations (allow tiny float noise;
+    additive tolerance so negative Poisson objectives are handled)."""
+    m = np.asarray(minf)
+    drops = m[1:] <= m[:-1] + 1e-5 * np.abs(m[:-1]) + 1e-12
+    assert drops.mean() >= frac, f"minf not decreasing: {m}"
+    assert m[-1] < m[0]
+
+
+def test_gaussian_object_only(rng):
+    """BASELINE.json:8 analogue: Gaussian CG, object-only."""
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    psi, prb_out, metrics = run(data, psi0, scan, prb, GEOM_SMALL,
+                                piter=48, model="gaussian")
+    assert_decreasing(metrics["minf"])
+    assert jnp.all(prb_out == prb)  # probe untouched
+    err = relative_object_error(psi, psi_true)
+    assert err < 0.12, f"reconstruction error too high: {err}"
+
+
+def test_poisson_object_only(rng):
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    psi, _, metrics = run(data, psi0, scan, prb, GEOM_SMALL,
+                          piter=48, model="poisson")
+    assert_decreasing(metrics["minf"])
+    err = relative_object_error(psi, psi_true)
+    assert err < 0.25, f"poisson reconstruction error too high: {err}"
+
+
+def test_joint_probe_recovery(rng):
+    """BASELINE.json:9 analogue: joint object+probe."""
+    psi_true, scan, prb_true, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    # start from a perturbed probe
+    prb0 = prb_true * 0.8 + 0.1 * jnp.mean(jnp.abs(prb_true))
+    psi, prb, metrics = run(data, psi0, scan, prb0, GEOM_SMALL,
+                            piter=64, model="gaussian", recover_prb=True)
+    assert_decreasing(metrics["minf"], frac=0.8)
+    # joint recovery must beat the frozen-bad-probe reconstruction
+    psi_frozen, _, m_frozen = run(data, psi0, scan, prb0, GEOM_SMALL,
+                                  piter=64, model="gaussian")
+    assert metrics["minf"][-1] < m_frozen["minf"][-1]
+
+
+def test_multimode_probe(rng):
+    """BASELINE.json:10 analogue: 4 incoherent probe modes."""
+    g = Geometry(nz=96, n=96, nscan=64, ndet=32, nprb=24, nmodes=4)
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
+    psi, _, metrics = run(data, psi0, scan, prb, g, piter=48)
+    assert_decreasing(metrics["minf"])
+    err = relative_object_error(psi, psi_true)
+    assert err < 0.2, f"multimode reconstruction error too high: {err}"
+
+
+def test_minibatched_matches_full(rng):
+    """nchunks>1 streams positions through lax.scan; results must match the
+    monolithic path to float tolerance."""
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    psi_a, _, ma = run(data, psi0, scan, prb, GEOM_SMALL, piter=8)
+    psi_b, _, mb = run(data, psi0, scan, prb, GEOM_SMALL, piter=8, nchunks=4)
+    np.testing.assert_allclose(np.asarray(ma["minf"]), np.asarray(mb["minf"]),
+                               rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_a - psi_b))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_a)))
+
+
+def test_minibatched_joint_multimode(rng):
+    """Streaming + joint probe + multimode all compose."""
+    g = Geometry(nz=96, n=96, nscan=64, ndet=32, nprb=24, nmodes=2)
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
+    prb0 = prb * 0.85
+    psi, prb_out, metrics = run(data, psi0, scan, prb0, g, piter=16,
+                                nchunks=4, recover_prb=True,
+                                model="poisson")
+    assert_decreasing(metrics["minf"], frac=0.8)
+    assert not jnp.all(prb_out == prb0)
+
+
+def test_ntheta_batched(rng):
+    """ntheta>1 reconstructs independent angles in one batched run."""
+    g = Geometry(nz=64, n=64, nscan=36, ndet=32, nprb=20, ntheta=2)
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
+    psi, _, metrics = run(data, psi0, scan, prb, g, piter=32)
+    assert_decreasing(metrics["minf"])
+
+
+def test_options_validation():
+    g = GEOM_SMALL
+    with pytest.raises(ValueError, match="nchunks"):
+        run(jnp.zeros(g.data_shape), jnp.zeros(g.psi_shape, jnp.complex64),
+            jnp.zeros(g.scan_shape), jnp.zeros(g.prb_shape, jnp.complex64),
+            g, nchunks=7)
+    with pytest.raises(ValueError, match="model"):
+        run(jnp.zeros(g.data_shape), jnp.zeros(g.psi_shape, jnp.complex64),
+            jnp.zeros(g.scan_shape), jnp.zeros(g.prb_shape, jnp.complex64),
+            g, model="laplace")

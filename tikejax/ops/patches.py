@@ -1,0 +1,113 @@
+"""Patch gather / overlap scatter-add over scan positions (XLA path).
+
+TPU-native replacement for the reference's CUDA gather and atomicAdd
+scatter kernels ([R] src/cuda/ptychofft.cu, SURVEY.md SS2/C2). Unlike the
+reference's hardware atomics, the XLA scatter-add here is *deterministic*:
+``.at[iy, ix].add`` lowers to a single XLA scatter with a fixed reduction
+order, so repeated runs are bitwise identical.
+
+A Pallas fast path with the same semantics lives in
+:mod:`tikejax.ops.pallas_kernels`; this module is the reference oracle and
+the CPU/fp64 test path.
+
+Scan positions are float (y, x) top-left corners, floored to integer pixel
+offsets exactly like the reference's C cast of float scan coordinates
+(SURVEY.md SS2/C1 fwd; no subpixel interpolation). Positions must be
+in-bounds: ``0 <= y <= nz - nprb``, ``0 <= x <= n - nprb``. Out-of-bounds
+positions would clamp in the gather but drop in the scatter, silently
+breaking fwd/adj adjointness -- use :func:`check_scan_in_bounds` in host
+code when ingesting untrusted positions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def scan_to_int(scan: jax.Array) -> jax.Array:
+    """Floor float (y, x) scan coordinates to int32 pixel offsets."""
+    if jnp.issubdtype(scan.dtype, jnp.integer):
+        return scan.astype(jnp.int32)
+    return jnp.floor(scan).astype(jnp.int32)
+
+
+def check_scan_in_bounds(scan, nz: int, n: int, nprb: int) -> None:
+    """Host-side validation that all scan positions are in-bounds."""
+    import numpy as np
+
+    s = np.floor(np.asarray(scan)).astype(np.int64)
+    y, x = s[..., 0], s[..., 1]
+    if (y < 0).any() or (x < 0).any() or (y > nz - nprb).any() or (
+            x > n - nprb).any():
+        bad = int(((y < 0) | (x < 0) | (y > nz - nprb) | (x > n - nprb)).sum())
+        raise ValueError(
+            f"{bad} scan position(s) out of bounds for object {nz}x{n} with "
+            f"probe {nprb}: y must be in [0, {nz - nprb}], x in [0, {n - nprb}]")
+
+
+def gather_patches(psi: jax.Array, scan_int: jax.Array,
+                   nprb: int) -> jax.Array:
+    """Gather ``nprb x nprb`` object patches at integer scan offsets.
+
+    Args:
+      psi: ``(ntheta, nz, n)`` complex object.
+      scan_int: ``(ntheta, nscan, 2)`` int32 (y, x) offsets.
+      nprb: patch side.
+
+    Returns:
+      ``(ntheta, nscan, nprb, nprb)`` patches, same dtype as ``psi``.
+    """
+
+    def per_angle(psi_t, scan_t):
+        def per_pos(s):
+            return lax.dynamic_slice(psi_t, (s[0], s[1]), (nprb, nprb))
+
+        return jax.vmap(per_pos)(scan_t)
+
+    return jax.vmap(per_angle)(psi, scan_int)
+
+
+def _index_grids(scan_int: jax.Array, nprb: int):
+    iy = scan_int[..., 0][..., None, None] + jnp.arange(
+        nprb, dtype=jnp.int32)[:, None]
+    ix = scan_int[..., 1][..., None, None] + jnp.arange(
+        nprb, dtype=jnp.int32)[None, :]
+    return iy, ix
+
+
+def scatter_patches_add(patches: jax.Array, scan_int: jax.Array, nz: int,
+                        n: int) -> jax.Array:
+    """Adjoint of :func:`gather_patches`: sum patches into a zero object.
+
+    Overlapping patches accumulate (the reference resolves this with
+    atomicAdd, nondeterministically; this scatter is deterministic --
+    SURVEY.md SS3.3, SS5 "race detection" row).
+
+    Args:
+      patches: ``(ntheta, nscan, nprb, nprb)``.
+      scan_int: ``(ntheta, nscan, 2)`` int32 offsets.
+
+    Returns:
+      ``(ntheta, nz, n)`` accumulated object-domain array.
+    """
+    nprb = patches.shape[-1]
+    iy, ix = _index_grids(scan_int, nprb)
+
+    def per_angle(p_t, iy_t, ix_t):
+        return jnp.zeros((nz, n), p_t.dtype).at[iy_t, ix_t].add(p_t)
+
+    return jax.vmap(per_angle)(patches, iy, ix)
+
+
+def overlap_counts(scan_int: jax.Array, nz: int, n: int, nprb: int,
+                   dtype=jnp.float32) -> jax.Array:
+    """Per-pixel patch coverage count: scatter of all-ones patches.
+
+    Useful as a diagnostic and as the denominator of the classic
+    probe-illumination preconditioner.
+    """
+    ntheta, nscan = scan_int.shape[:2]
+    ones = jnp.ones((ntheta, nscan, nprb, nprb), dtype)
+    return scatter_patches_add(ones, scan_int, nz, n)

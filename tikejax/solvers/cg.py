@@ -1,0 +1,383 @@
+"""Joint object+probe Dai-Yuan conjugate-gradient ptychography solver.
+
+TPU-native re-design of the reference CG loop ([R] libtike/cufft/ptycho.py
+``run``; SURVEY.md SS2/C5, SS3.1). Same algorithm family -- Dai-Yuan
+nonlinear CG with backtracking line search, Gaussian/Poisson likelihoods,
+optional joint probe recovery, multi-mode probes, position minibatching --
+but the *entire* reconstruction runs inside a single ``jax.jit`` as a
+``lax.fori_loop``: zero host round-trips per iteration, versus the
+reference's 3-5 host<->device crossings (SURVEY.md SS3.1, north star in
+BASELINE.json:5).
+
+Key departures from the reference, justified by the TPU execution model:
+
+* **Line search on quadratic sufficient statistics.** The forward operator
+  is linear in psi (and in prb), so ``|G(psi + gamma*d)|^2`` per pixel is
+  ``a + 2*gamma*b + gamma^2*c`` with ``a = sum_m |G psi|^2``,
+  ``b = sum_m Re(conj(G psi) * G d)``, ``c = sum_m |G d|^2``. One pass over
+  the two farplanes yields (a, b, c); every backtracking step then reads
+  three real arrays instead of re-evaluating the forward model (the
+  reference exploits linearity the same way but re-reads complex frames).
+  The backtracking itself is a ``lax.while_loop`` -- on device, data
+  independent of the host.
+* **Deterministic gradients** via the race-free scatter-add (ops layer).
+* **Position minibatching inside jit**: ``nchunks > 1`` streams scan
+  chunks through a ``lax.scan``, never materialising the full farplane --
+  the gradient pass and the line-search statistics are accumulated
+  per-chunk (reference chunks operator calls from the host; SURVEY.md
+  SS2/C5 minibatching).
+* **Mesh-sharded execution**: with ``axis_name`` set (see
+  tikejax.parallel), scalar objectives and the object/probe gradients are
+  ``psum``-ed across the scan-sharded mesh axis; everything else is
+  replicated arithmetic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tikejax.geometry import Geometry
+from tikejax.models import likelihoods
+from tikejax.ops import diffraction
+
+
+@dataclasses.dataclass(frozen=True)
+class CGOptions:
+    """Static solver configuration (hashable: safe as a jit static arg).
+
+    Attributes:
+      piter: number of CG iterations.
+      model: 'gaussian' or 'poisson' likelihood.
+      recover_prb: jointly update the probe (alternating within each
+        iteration, as in the reference).
+      step0: initial line-search step.
+      step_shrink: backtracking shrink factor.
+      max_halvings: bound on backtracking steps (then gamma=0, no move).
+      nchunks: scan-position minibatching factor; >1 streams chunks through
+        lax.scan without materialising the full farplane. Must divide nscan.
+      kernel: 'xla' or 'pallas' gather/scatter implementation.
+      axis_name: mesh axis name for scan-sharded execution (psum of scalars
+        and gradients); None for single-device runs.
+      verbose_every: if >0, jax.debug.print (iter, minf, gamma) every N
+        iterations (the reference prints residuals from the host loop).
+    """
+
+    piter: int = 32
+    model: str = "gaussian"
+    recover_prb: bool = False
+    step0: float = 1.0
+    step_shrink: float = 0.5
+    max_halvings: int = 16
+    nchunks: int = 1
+    kernel: str = "xla"
+    axis_name: str | None = None
+    verbose_every: int = 0
+
+
+def _rdot(a, b):
+    """Real inner product of (complex) arrays viewed as real vectors."""
+    return jnp.real(jnp.vdot(a, b))
+
+
+def _psum(x, axis_name):
+    return lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _pvary(x, axis_name):
+    """Mark a replicated value as device-varying along the mesh axis, so it
+    can serve as the carry init of accumulations over sharded data inside
+    shard_map (JAX tracks 'varying manual axes' and rejects mixing)."""
+    return lax.pvary(x, (axis_name,)) if axis_name is not None else x
+
+
+def _chunked(x, nchunks):
+    """(ntheta, nscan, ...) -> (nchunks, ntheta, nscan/nchunks, ...)."""
+    t, s = x.shape[0], x.shape[1]
+    return x.reshape(t, nchunks, s // nchunks,
+                     *x.shape[2:]).swapaxes(0, 1)
+
+
+def _quad_stats(fpsi, fd):
+    """Per-pixel quadratic coefficients of |fpsi + gamma*fd|^2 summed over
+    modes: returns (a, b, c) real arrays of shape (ntheta, nscan, nd, nd)."""
+    a = likelihoods.total_intensity(fpsi)
+    b = jnp.sum(jnp.real(jnp.conj(fpsi) * fd), axis=2)
+    c = likelihoods.total_intensity(fd)
+    return a, b, c
+
+
+def _minf_of_gamma(model, a, b, c, data, gamma):
+    """Objective at psi + gamma*d from quadratic statistics."""
+    intensity = jnp.maximum(a + 2.0 * gamma * b + gamma * gamma * c, 0.0)
+    d = jnp.maximum(data, 0.0)
+    if model == "gaussian":
+        amp = jnp.sqrt(intensity + 1e-12)
+        return jnp.sum((amp - jnp.sqrt(d))**2)
+    else:  # poisson
+        return jnp.sum(intensity - d * jnp.log(intensity + 1e-8))
+
+
+class _Engine:
+    """Geometry/options-bound internals of the CG loop.
+
+    Every method is pure and traced under jit; the class only carries static
+    configuration (shapes, model name, chunking) resolved at trace time.
+    """
+
+    def __init__(self, g: Geometry, o: CGOptions):
+        if g.nscan % o.nchunks != 0:
+            raise ValueError(
+                f"nchunks ({o.nchunks}) must divide nscan ({g.nscan})")
+        if o.model not in likelihoods.MODELS:
+            raise ValueError(f"unknown model {o.model!r}")
+        self.g = g
+        self.o = o
+        self.minf_fn, self.resid_fn = likelihoods.get_model(o.model)
+
+    # -- operator shorthands ------------------------------------------------
+
+    def _fwd(self, psi, scan, prb):
+        return diffraction.fwd_raw(psi, scan, prb, self.g.ndet, self.o.kernel)
+
+    def _adj(self, farp, scan, prb):
+        return diffraction.adj_raw(farp, scan, prb, self.g.nz, self.g.n,
+                                   self.o.kernel)
+
+    def _adj_probe(self, farp, scan, psi):
+        return diffraction.adj_probe_raw(farp, scan, psi, self.g.nprb,
+                                         self.o.kernel)
+
+    # -- gradient passes ----------------------------------------------------
+
+    def grad_pass(self, psi, prb, scan, data):
+        """One pass over all positions: returns (minf, grad_psi, grad_prb).
+
+        grad_prb is None unless recover_prb. In streaming mode
+        (nchunks > 1) this is a lax.scan over scan chunks with accumulated
+        outputs; the full farplane never exists.
+        """
+        o = self.o
+        if o.nchunks == 1:
+            fpsi = self._fwd(psi, scan, prb)
+            f0 = self.minf_fn(fpsi, data)
+            resid = self.resid_fn(fpsi, data)
+            gpsi = self._adj(resid, scan, prb)
+            gprb = self._adj_probe(resid, scan, psi) if o.recover_prb else None
+        else:
+            scan_c = _chunked(scan, o.nchunks)
+            data_c = _chunked(data, o.nchunks)
+
+            def step(carry, inp):
+                f_acc, gpsi_acc, gprb_acc = carry
+                sc, dc = inp
+                fp = self._fwd(psi, sc, prb)
+                f_acc = f_acc + self.minf_fn(fp, dc)
+                r = self.resid_fn(fp, dc)
+                gpsi_acc = gpsi_acc + self._adj(r, sc, prb)
+                if o.recover_prb:
+                    gprb_acc = gprb_acc + self._adj_probe(r, sc, psi)
+                return (f_acc, gpsi_acc, gprb_acc), None
+
+            real_dtype = np.empty(0, np.result_type(psi.dtype)).real.dtype
+            init = jax.tree.map(
+                lambda x: _pvary(x, o.axis_name),
+                (jnp.zeros((), real_dtype),
+                 jnp.zeros_like(psi),
+                 jnp.zeros_like(prb) if o.recover_prb else jnp.zeros(())))
+            (f0, gpsi, gprb), _ = lax.scan(step, init, (scan_c, data_c))
+            if not o.recover_prb:
+                gprb = None
+        f0 = _psum(f0, o.axis_name)
+        gpsi = _psum(gpsi, o.axis_name)
+        if gprb is not None:
+            gprb = _psum(gprb, o.axis_name)
+        return f0, gpsi, gprb
+
+    def quad_pass(self, psi, prb, scan, data, *, dpsi=None, dprb=None):
+        """Line-search statistics for a step along dpsi (object step) or
+        dprb (probe step): returns closure gamma -> global minf(gamma).
+
+        Exploits linearity of the forward model; in streaming mode the
+        (a, b, c, data) reduction happens per chunk inside the backtracking
+        loop's *setup* pass only -- each backtracking step then reduces the
+        accumulated statistics, never re-running the forward model.
+        """
+        o = self.o
+        assert (dpsi is None) != (dprb is None)
+
+        def fwd_pair(sc):
+            fp = self._fwd(psi, sc, prb)
+            fd = (self._fwd(dpsi, sc, prb)
+                  if dpsi is not None else self._fwd(psi, sc, dprb))
+            return fp, fd
+
+        if o.nchunks == 1:
+            fp, fd = fwd_pair(scan)
+            a, b, c = _quad_stats(fp, fd)
+
+            def f_of(gamma):
+                return _psum(
+                    _minf_of_gamma(o.model, a, b, c, data, gamma),
+                    o.axis_name)
+
+            return f_of
+
+        scan_c = _chunked(scan, o.nchunks)
+        data_c = _chunked(data, o.nchunks)
+
+        # Streaming: cannot hold (a, b, c) for all positions without
+        # defeating the point, but they are 3 real arrays vs 2 complex
+        # mode-resolved farplanes -- 3/(4*nmodes) of the memory. For the
+        # memory-bound configs (many modes) that is the win that makes
+        # in-jit backtracking possible at all; each backtracking step reads
+        # the statistics, not the model.
+        def step(carry, inp):
+            sc, dc = inp
+            fp, fd = fwd_pair(sc)
+            a, b, c = _quad_stats(fp, fd)
+            return carry, (a, b, c)
+
+        _, (a_c, b_c, c_c) = lax.scan(step, None, (scan_c, data_c))
+
+        def f_of(gamma):
+            def red(carry, inp):
+                a, b, c, dc = inp
+                return carry + _minf_of_gamma(o.model, a, b, c, dc,
+                                              gamma), None
+
+            total, _ = lax.scan(red, _pvary(jnp.zeros(()), o.axis_name),
+                                (a_c, b_c, c_c, data_c))
+            return _psum(total, o.axis_name)
+
+        return f_of
+
+    # -- line search ----------------------------------------------------
+
+    def line_search(self, f_of, f0, dtype):
+        """Backtracking: largest gamma in {step0 * shrink^k} with
+        f(gamma) <= f0; gamma = 0 if none within max_halvings (matches the
+        reference's simple-decrease halving search)."""
+        o = self.o
+        gamma0 = jnp.asarray(o.step0, dtype)
+
+        def cond(st):
+            gamma, fg, k = st
+            return jnp.logical_and(fg > f0, k < o.max_halvings)
+
+        def body(st):
+            gamma, fg, k = st
+            gamma = gamma * o.step_shrink
+            return gamma, f_of(gamma), k + 1
+
+        gamma, fg, _ = lax.while_loop(cond, body, (gamma0, f_of(gamma0), 0))
+        return jnp.where(fg <= f0, gamma, jnp.zeros_like(gamma))
+
+    # -- Dai-Yuan direction ----------------------------------------------
+
+    @staticmethod
+    def dy_direction(grad, grad_prev, d_prev):
+        """d = -g + beta * d_prev, beta = ||g||^2 / <d_prev, g - g_prev>_R
+        (Dai-Yuan 1999), with a zero-division guard that yields steepest
+        descent on the first iteration (d_prev = 0)."""
+        num = _rdot(grad, grad)
+        den = _rdot(d_prev, grad - grad_prev)
+        beta = jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
+        return -grad + beta.astype(grad.dtype) * d_prev
+
+
+def _precondition(gpsi, prb):
+    """Scale the object gradient by 1 / max_pixel(sum_m |prb_m|^2) per angle
+    (the reference's 1/max|prb|^2 scaling, SURVEY.md SS2/C5) so the natural
+    line-search step is O(1)."""
+    power = jnp.sum(jnp.abs(prb)**2, axis=1)  # (ntheta, nprb, nprb)
+    pmax = jnp.max(power, axis=(-2, -1))      # (ntheta,)
+    scale = (1.0 / jnp.maximum(pmax, 1e-32)).astype(gpsi.dtype)
+    return gpsi * scale[:, None, None]
+
+
+def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
+    """Unjitted CG loop body. Called under jit by :func:`run`, or inside
+    ``shard_map`` by :mod:`tikejax.parallel` (which sets options.axis_name
+    and passes the per-shard geometry)."""
+    eng = _Engine(geometry, options)
+    o = options
+    real_dtype = np.empty(0, dtype=np.result_type(psi0.dtype)).real.dtype
+
+    metrics0 = {
+        "minf": jnp.zeros((o.piter,), real_dtype),
+        "gamma": jnp.zeros((o.piter,), real_dtype),
+        "grad_norm": jnp.zeros((o.piter,), real_dtype),
+        "gamma_prb": jnp.zeros((o.piter,), real_dtype),
+    }
+
+    def body(i, st):
+        psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, metrics = st
+
+        # ---- object step ----
+        f0, gpsi, gprb = eng.grad_pass(psi, prb, scan, data)
+        gpsi = _precondition(gpsi, prb)
+        d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
+        f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi)
+        gamma = eng.line_search(f_of, f0, real_dtype)
+        psi = psi + gamma.astype(psi.dtype) * d_psi
+        g_psi_prev = gpsi
+
+        gamma_p = jnp.zeros((), real_dtype)
+        if o.recover_prb:
+            # ---- probe step (alternating, reference style) ----
+            # Gradient w.r.t. prb at the *updated* psi: recompute the
+            # residual pass (the farplane changed with psi).
+            f0p, _, gprb = eng.grad_pass(psi, prb, scan, data)
+            d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb)
+            f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb)
+            gamma_p = eng.line_search(f_of_p, f0p, real_dtype)
+            prb = prb + gamma_p.astype(prb.dtype) * d_prb
+            g_prb_prev = gprb
+
+        metrics = {
+            "minf": metrics["minf"].at[i].set(f0.astype(real_dtype)),
+            "gamma": metrics["gamma"].at[i].set(gamma),
+            "grad_norm": metrics["grad_norm"].at[i].set(
+                jnp.sqrt(_rdot(gpsi, gpsi)).astype(real_dtype)),
+            "gamma_prb": metrics["gamma_prb"].at[i].set(gamma_p),
+        }
+        if o.verbose_every > 0:
+            def _print(_):
+                jax.debug.print(
+                    "iter {i}: minf={f:.6e} gamma={g:.4f}", i=i, f=f0, g=gamma)
+                return 0
+            lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
+        return psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, metrics
+
+    st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
+           jnp.zeros_like(prb0), jnp.zeros_like(prb0), metrics0)
+    psi, prb, *_, metrics = lax.fori_loop(0, o.piter, body, st0)
+    return psi, prb, metrics
+
+
+def run(data, psi0, scan, prb0, geometry: Geometry,
+        options: CGOptions | None = None, **kw):
+    """Reconstruct object (and optionally probe) from measured intensities.
+
+    The TPU-native counterpart of the reference's
+    ``solver.run(data, psi, scan, prb, piter, model, recover_prb)``
+    (SURVEY.md SS3.1). Extra keyword arguments override CGOptions fields.
+
+    Returns:
+      (psi, prb, metrics) where metrics is a dict of per-iteration arrays
+      {'minf', 'gamma', 'grad_norm', 'gamma_prb'} of shape (piter,).
+    """
+    if options is None:
+        options = CGOptions(**kw)
+    elif kw:
+        options = dataclasses.replace(options, **kw)
+    return _run_cg_jit(geometry, options, data, psi0, scan, prb0)
+
+
+_run_cg_jit = jax.jit(run_impl, static_argnums=(0, 1))

@@ -1,0 +1,6 @@
+"""Utilities: host IO, checkpointing, metrics."""
+
+from tikejax.utils.hostio import (cfull, cones, czeros, scalar, to_device,
+                                  to_host)
+
+__all__ = ["to_host", "to_device", "scalar", "cfull", "cones", "czeros"]
