@@ -1,0 +1,80 @@
+"""End-to-end reconstruction demo: simulate, reconstruct, report.
+
+Usage:
+  python examples/reconstruct.py [--size 256] [--nscan 1024] [--piter 64]
+      [--model gaussian|poisson] [--recover-prb] [--nmodes 1]
+      [--checkpoint out.npz]
+
+Equivalent of the reference's README usage example / rec_test script
+(SURVEY.md SS4 item 2), on TPU.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tikejax import Geometry
+from tikejax.models import make_problem
+from tikejax.solvers import run
+from tikejax.utils import checkpoint, cones, scalar, to_host
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--nscan", type=int, default=1024)
+    ap.add_argument("--ndet", type=int, default=64)
+    ap.add_argument("--nprb", type=int, default=64)
+    ap.add_argument("--nmodes", type=int, default=1)
+    ap.add_argument("--piter", type=int, default=64)
+    ap.add_argument("--model", default="gaussian",
+                    choices=["gaussian", "poisson"])
+    ap.add_argument("--recover-prb", action="store_true")
+    ap.add_argument("--nchunks", type=int, default=1)
+    ap.add_argument("--photons", type=float, default=None,
+                    help="add Poisson shot noise at this photon budget")
+    ap.add_argument("--checkpoint", default=None)
+    args = ap.parse_args()
+
+    g = Geometry(nz=args.size, n=args.size, nscan=args.nscan, ndet=args.ndet,
+                 nprb=args.nprb, nmodes=args.nmodes)
+    print(f"device: {jax.devices()[0].device_kind}; geometry: {g}")
+
+    psi_true, scan, prb, data = make_problem(
+        jax.random.PRNGKey(0), g, poisson_photons=args.photons)
+    jax.block_until_ready(data)
+
+    t0 = time.time()
+    psi, prb_out, metrics = run(
+        data, cones(g.psi_shape), scan, prb, g, piter=args.piter,
+        model=args.model, recover_prb=args.recover_prb, nchunks=args.nchunks)
+    jax.block_until_ready(psi)
+    dt = time.time() - t0
+
+    minf = to_host(metrics["minf"])
+    gamma = to_host(metrics["gamma"])
+    print(f"{args.piter} iters in {dt:.2f}s "
+          f"({args.piter / dt:.1f} iters/s incl. compile)")
+    for i in range(0, args.piter, max(1, args.piter // 8)):
+        print(f"  iter {i:4d}: minf={minf[i]:.6e} gamma={gamma[i]:.3f}")
+    print(f"  final   : minf={minf[-1]:.6e}")
+
+    # phase-aligned relative error against ground truth (interior)
+    m = g.n // 8
+    a = psi[..., m:-m, m:-m].ravel()
+    b = psi_true[..., m:-m, m:-m].ravel()
+    phase = jnp.vdot(a, b)
+    phase = phase / jnp.abs(phase)
+    err = scalar(jnp.linalg.norm(a * phase - b) / jnp.linalg.norm(b))
+    print(f"  object rel err vs truth (interior, phase-aligned): {err:.4f}")
+
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint,
+                        {"psi": psi, "prb": prb_out, "metrics": metrics})
+        print(f"saved state to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

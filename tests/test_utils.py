@@ -1,0 +1,102 @@
+"""Tests for checkpointing, host IO, and the reference-compat facade."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tikejax import Geometry
+from tikejax.models import make_problem
+from tikejax.utils import checkpoint, cfull, cones, czeros, to_device, to_host
+
+
+def test_hostio_complex_roundtrip():
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(3, 5)) + 1j * rng.normal(size=(3, 5))).astype(
+        np.complex64)
+    np.testing.assert_array_equal(to_host(to_device(x)), x)
+
+
+def test_hostio_real_roundtrip():
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_array_equal(to_host(to_device(x)), x)
+
+
+def test_complex_constructors():
+    a = cones((2, 3))
+    assert a.dtype == jnp.complex64
+    np.testing.assert_array_equal(to_host(a), np.ones((2, 3), np.complex64))
+    b = cfull((2,), 1 - 2j)
+    np.testing.assert_array_equal(to_host(b),
+                                  np.full((2,), 1 - 2j, np.complex64))
+    assert to_host(czeros((1,))).sum() == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "psi": jnp.ones((2, 4, 4), jnp.complex64) * (1 + 2j),
+        "metrics": {
+            "minf": jnp.arange(5, dtype=jnp.float32),
+            "gamma": jnp.zeros((5,), jnp.float64),
+        },
+        "iter": np.int64(7),
+    }
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(path, tree)
+    loaded = checkpoint.load(path)
+    np.testing.assert_array_equal(loaded["psi"], np.asarray(tree["psi"]))
+    np.testing.assert_array_equal(loaded["metrics"]["minf"],
+                                  np.arange(5, dtype=np.float32))
+    assert loaded["iter"] == 7
+    on_dev = checkpoint.load(path, device=True)
+    assert on_dev["psi"].dtype == jnp.complex64
+
+
+def test_checkpoint_resume_cg(rng, tmp_path):
+    """Reconstruct 8 iters, checkpoint, resume 8 more: final objective must
+    be at least as good as 16 straight iterations within tolerance."""
+    from tikejax.solvers import run
+
+    g = Geometry(nz=64, n=64, nscan=36, ndet=32, nprb=20)
+    psi_true, scan, prb, data = make_problem(rng, g, dtype=jnp.complex64)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+
+    psi_a, prb_a, m_a = run(data, psi0, scan, prb, g, piter=8)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, {"psi": psi_a, "prb": prb_a})
+    st = checkpoint.load(path, device=True)
+    psi_b, _, m_b = run(data, st["psi"], scan, st["prb"], g, piter=8)
+
+    psi_c, _, m_c = run(data, psi0, scan, prb, g, piter=16)
+    # Resumed run restarts the CG direction so it may differ slightly, but
+    # must keep descending and land in the same ballpark.
+    assert m_b["minf"][-1] < m_a["minf"][-1]
+    assert m_b["minf"][-1] < 2.0 * m_c["minf"][-1] + 1e-3
+
+
+def test_compat_solver(rng):
+    """Reference-shaped facade: numpy in, numpy out."""
+    from tikejax.compat import CGPtychoSolver
+
+    g = Geometry(nz=64, n=64, nscan=36, ndet=32, nprb=20)
+    psi_true, scan, prb, data = make_problem(rng, g, dtype=jnp.complex64)
+    solver = CGPtychoSolver(ntheta=1, nz=64, n=64, nscan=36, ndet=32,
+                            nprb=20)
+
+    farp = solver.fwd(np.asarray(psi_true), np.asarray(scan),
+                      np.asarray(prb)[:, 0])  # mode-less probe accepted
+    assert isinstance(farp, np.ndarray)
+    assert farp.shape == g.farplane_shape
+
+    obj = solver.adj(farp, np.asarray(scan), np.asarray(prb))
+    assert obj.shape == g.psi_shape
+
+    out = solver.run(np.asarray(data), np.ones(g.psi_shape, np.complex64),
+                     np.asarray(scan), np.asarray(prb), piter=8)
+    assert out["psi"].shape == g.psi_shape
+    assert out["minf"][-1] < out["minf"][0]
+    assert isinstance(out["psi"], np.ndarray)
+
+    with pytest.raises(ValueError, match="shape"):
+        solver.fwd(np.zeros((1, 8, 8), np.complex64), np.asarray(scan),
+                   np.asarray(prb))

@@ -1,0 +1,96 @@
+"""Reference-compatible solver facade.
+
+A drop-in-shaped equivalent of the reference's solver class
+(``CGPtychoSolver`` subclassing the SWIG ``ptychofft``; [R]
+libtike/cufft/ptycho.py, SURVEY.md SS2/C5): same constructor geometry
+arguments, same ``fwd`` / ``adj`` / ``adj_probe`` / ``run`` methods --
+but accepting host numpy or device arrays (no raw GPU pointers), moving
+data complex-safely, and running the TPU-native engine underneath.
+
+Array layouts (tikejax conventions, documented in tikejax.geometry):
+``psi (ntheta, nz, n)``, ``scan (ntheta, nscan, 2)`` float (y, x),
+``prb (ntheta, nmodes, nprb, nprb)`` (a mode-less ``(ntheta, nprb,
+nprb)`` probe is accepted when nmodes == 1), ``data (ntheta, nscan,
+ndet, ndet)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tikejax.geometry import Geometry
+from tikejax.ops.diffraction import Ptycho
+from tikejax.solvers import cg as _cg
+from tikejax.utils import hostio
+
+
+class CGPtychoSolver:
+    """Conjugate-gradient ptychography solver, reference-shaped API."""
+
+    def __init__(self, ntheta: int, nz: int, n: int, nscan: int, ndet: int,
+                 nprb: int, nmodes: int = 1, kernel: str = "auto"):
+        self.geometry = Geometry(ntheta=ntheta, nz=nz, n=n, nscan=nscan,
+                                 ndet=ndet, nprb=nprb, nmodes=nmodes)
+        self.op = Ptycho(self.geometry, kernel=kernel)
+        self.kernel = kernel
+
+    # -- array ingestion -------------------------------------------------
+
+    def _prb(self, prb):
+        prb = hostio.to_device(prb, np.complex64)
+        if prb.ndim == 3:
+            prb = prb[:, None]
+        if prb.shape != self.geometry.prb_shape:
+            raise ValueError(f"prb shape {prb.shape} != "
+                             f"{self.geometry.prb_shape}")
+        return prb
+
+    def _psi(self, psi):
+        psi = hostio.to_device(psi, np.complex64)
+        if psi.shape != self.geometry.psi_shape:
+            raise ValueError(f"psi shape {psi.shape} != "
+                             f"{self.geometry.psi_shape}")
+        return psi
+
+    def _scan(self, scan):
+        scan = hostio.to_device(scan, np.float32)
+        if scan.shape != self.geometry.scan_shape:
+            raise ValueError(f"scan shape {scan.shape} != "
+                             f"{self.geometry.scan_shape}")
+        return scan
+
+    # -- operators -------------------------------------------------------
+
+    def fwd(self, psi, scan, prb):
+        """farplane = G(psi); (ntheta, nscan, nmodes, ndet, ndet) numpy."""
+        out = self.op.fwd(self._psi(psi), self._scan(scan), self._prb(prb))
+        return hostio.to_host(out)
+
+    def adj(self, farplane, scan, prb):
+        out = self.op.adj(hostio.to_device(farplane, np.complex64),
+                          self._scan(scan), self._prb(prb))
+        return hostio.to_host(out)
+
+    def adj_probe(self, farplane, scan, psi):
+        out = self.op.adj_probe(hostio.to_device(farplane, np.complex64),
+                                self._scan(scan), self._psi(psi))
+        return hostio.to_host(out)
+
+    # -- solver ----------------------------------------------------------
+
+    def run(self, data, psi, scan, prb, piter: int = 32,
+            model: str = "gaussian", recover_prb: bool = False, **kw):
+        """Reconstruct; mirrors the reference's ``run`` signature.
+
+        Returns a dict with numpy arrays: {'psi', 'prb', 'minf', 'gamma',
+        'grad_norm', 'gamma_prb'} (the reference prints diagnostics and
+        returns arrays; here the per-iteration metrics come back too).
+        """
+        kw.setdefault("kernel", self.kernel)
+        psi_r, prb_r, metrics = _cg.run(
+            hostio.to_device(data, np.float32), self._psi(psi),
+            self._scan(scan), self._prb(prb), self.geometry,
+            piter=piter, model=model, recover_prb=recover_prb, **kw)
+        out = {"psi": hostio.to_host(psi_r), "prb": hostio.to_host(prb_r)}
+        out.update({k: hostio.to_host(v) for k, v in metrics.items()})
+        return out

@@ -39,26 +39,49 @@ from tikejax.geometry import Geometry
 from tikejax.ops import patches as _patches
 from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 
-# Kernel registry: name -> (gather_patches, scatter_patches_add,
-#                            gather_mul_probe | None, ...) filled lazily to
-# avoid importing Pallas on platforms that don't need it.
-_KERNELS = ("xla", "pallas")
+# Gather/scatter implementations. 'auto' resolves to the Pallas fast path
+# on TPU and the XLA oracle elsewhere, at trace time.
+_KERNELS = ("xla", "pallas", "auto")
 
 
-def _gather(psi, scan_int, nprb, kernel):
+def resolve_kernel(kernel: str) -> str:
+    if kernel == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return kernel
+
+
+def _nearplane_fwd(psi, scan_int, prb, kernel):
+    """Gather patches at scan offsets and multiply by all probe modes:
+    (t, s, m, nprb, nprb)."""
     if kernel == "pallas":
         from tikejax.ops import pallas_kernels
 
-        return pallas_kernels.gather_patches(psi, scan_int, nprb)
-    return _patches.gather_patches(psi, scan_int, nprb)
+        return pallas_kernels.gather_probe_mul(psi, scan_int, prb)
+    nprb = prb.shape[-1]
+    patches = _patches.gather_patches(psi, scan_int, nprb)
+    return patches[:, :, None, :, :] * prb[:, None, :, :, :]
 
 
-def _scatter_add(patches, scan_int, nz, n, kernel):
+def _adj_object(nearplane, scan_int, prb, nz, n, kernel):
+    """conj(prb)-multiply, mode-sum, overlap scatter-add into the object."""
     if kernel == "pallas":
         from tikejax.ops import pallas_kernels
 
-        return pallas_kernels.scatter_patches_add(patches, scan_int, nz, n)
+        return pallas_kernels.scatter_conj_probe(nearplane, scan_int, prb,
+                                                 nz, n)
+    patches = jnp.sum(jnp.conj(prb)[:, None, :, :, :] * nearplane, axis=2)
     return _patches.scatter_patches_add(patches, scan_int, nz, n)
+
+
+def _adj_probe_acc(nearplane, scan_int, psi, kernel):
+    """conj(patch)-multiply and reduce over scan positions into the probe."""
+    if kernel == "pallas":
+        from tikejax.ops import pallas_kernels
+
+        return pallas_kernels.adj_probe_reduce(nearplane, scan_int, psi)
+    nprb = nearplane.shape[-1]
+    patches = _patches.gather_patches(psi, scan_int, nprb)
+    return jnp.sum(jnp.conj(patches)[:, :, None, :, :] * nearplane, axis=1)
 
 
 def _check_kernel(kernel: str) -> None:
@@ -77,11 +100,9 @@ def fwd_raw(psi: jax.Array, scan: jax.Array, prb: jax.Array, ndet: int,
             kernel: str = "xla") -> jax.Array:
     """Forward diffraction. Returns ``(ntheta, nscan, nmodes, ndet, ndet)``."""
     _check_kernel(kernel)
-    nprb = prb.shape[-1]
+    kernel = resolve_kernel(kernel)
     scan_int = _patches.scan_to_int(scan)
-    patches = _gather(psi, scan_int, nprb, kernel)  # (t, s, p, p)
-    # (t, s, 1, p, p) * (t, 1, m, p, p) -> (t, s, m, p, p)
-    nearplane = patches[:, :, None, :, :] * prb[:, None, :, :, :]
+    nearplane = _nearplane_fwd(psi, scan_int, prb, kernel)  # (t, s, m, p, p)
     return fft2o(pad_to_det(nearplane, ndet))
 
 
@@ -89,25 +110,21 @@ def adj_raw(farplane: jax.Array, scan: jax.Array, prb: jax.Array, nz: int,
             n: int, kernel: str = "xla") -> jax.Array:
     """Adjoint w.r.t. the object. Returns ``(ntheta, nz, n)``."""
     _check_kernel(kernel)
+    kernel = resolve_kernel(kernel)
     nprb = prb.shape[-1]
     scan_int = _patches.scan_to_int(scan)
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
-    patches = jnp.sum(jnp.conj(prb)[:, None, :, :, :] * nearplane, axis=2)
-    return _scatter_add(patches, scan_int, nz, n, kernel)
+    return _adj_object(nearplane, scan_int, prb, nz, n, kernel)
 
 
 def adj_probe_raw(farplane: jax.Array, scan: jax.Array, psi: jax.Array,
                   nprb: int, kernel: str = "xla") -> jax.Array:
     """Adjoint w.r.t. the probe. Returns ``(ntheta, nmodes, nprb, nprb)``."""
     _check_kernel(kernel)
+    kernel = resolve_kernel(kernel)
     scan_int = _patches.scan_to_int(scan)
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
-    if kernel == "pallas":
-        from tikejax.ops import pallas_kernels
-
-        return pallas_kernels.adj_probe(nearplane, scan_int, psi)
-    patches = _patches.gather_patches(psi, scan_int, nprb)  # (t, s, p, p)
-    return jnp.sum(jnp.conj(patches)[:, :, None, :, :] * nearplane, axis=1)
+    return _adj_probe_acc(nearplane, scan_int, psi, kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +183,7 @@ class Ptycho:
     >>> farplane = op.fwd(psi, scan, prb)
     """
 
-    def __init__(self, geometry: Geometry, kernel: str = "xla"):
+    def __init__(self, geometry: Geometry, kernel: str = "auto"):
         _check_kernel(kernel)
         self.g = geometry
         self.kernel = kernel

@@ -1,0 +1,399 @@
+"""Pallas TPU kernels for the patch gather / overlap scatter hot ops.
+
+TPU-native re-design of the reference's CUDA kernels
+([R] src/cuda/ptychofft.cu: fwd gather-multiply ``mul``, adjoint
+scatter-add ``mula`` with atomicAdd, probe-adjoint reduction; SURVEY.md
+SS2/C2). Three fused kernels:
+
+* :func:`gather_probe_mul` -- fwd pre-FFT: gather object patches at scan
+  offsets and multiply by every probe mode in one pass.
+* :func:`scatter_conj_probe` -- adj post-IFFT: conj(probe)-multiply each
+  mode, sum modes, and scatter-add the overlapping patches into the
+  object. Where the reference uses hardware atomicAdd (nondeterministic
+  summation order), the TPU grid executes **sequentially** and the object
+  block stays resident in VMEM across grid steps, so the accumulation is
+  race-free and bitwise deterministic by construction (SURVEY.md SS5
+  "race detection" row, SS7 hard parts).
+* :func:`adj_probe_reduce` -- probe adjoint: gather object patches,
+  conj-multiply with the incoming frames and reduce over all scan
+  positions into the probe modes.
+
+Mosaic constraints shape the addressing scheme: dynamic vector loads/
+stores require the sublane offset to be a multiple of 8 and the lane
+offset a multiple of 128 (fp32). Scan offsets are arbitrary integers, so
+each access decomposes ``y = 8*(y//8) + ry``, ``x = 128*(x//128) + rx``
+and touches an **aligned** window of shape ``(roundup(nprb,8)+8,
+roundup(nprb,128)+128)``; the object array is padded by the window
+margins so windows never overrun. The residual (ry, rx) shift is applied
+as two small matmuls with one-hot selection matrices --
+``patch = S_y @ win @ S_x^T`` -- which rides the MXU and sidesteps
+``pltpu.roll``'s dynamic-shift restrictions (axis-0 dynamic rotates
+mis-shift on non-vreg-aligned sublane counts on v5e). The scatter uses
+the transposed selections to place the patch back into the window before
+an aligned read-modify-write. Scan offsets arrive via scalar prefetch
+(``PrefetchScalarGridSpec``).
+
+Pallas TPU has no complex dtype: complex arrays cross the kernel boundary
+as (real, imag) float32 pairs (split/recombined by XLA, which fuses the
+conversions into neighbouring ops).
+
+Off-TPU (CPU tests) the kernels run in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SUB = 8     # fp32 sublane alignment quantum
+_LANE = 128  # lane alignment quantum
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _positions_per_step(nmodes: int) -> int:
+    # Keep the per-step frame block (P * nmodes * nprb^2 * 8B) around <= 1MB
+    # for 128^2 probes so double buffering fits VMEM comfortably.
+    return max(1, 8 // nmodes)
+
+
+def _pad_axis1(x, s_pad):
+    s = x.shape[1]
+    if s == s_pad:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (0, s_pad - s)
+    return jnp.pad(x, pad)
+
+
+def _split_c64(x):
+    if not jnp.iscomplexobj(x):
+        raise TypeError(f"pallas kernels expect complex input, got {x.dtype}")
+    return (jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _window_hw(nprb):
+    """Aligned window shape enclosing an nprb x nprb patch at any offset:
+    height/width rounded to sublane/lane quanta (Mosaic's dynamic rotates
+    require fully aligned vector shapes) plus one alignment quantum of
+    slack for the offset remainder."""
+    return _round_up(nprb, _SUB) + _SUB, _round_up(nprb, _LANE) + _LANE
+
+
+def _pad_object(x, nprb):
+    """Pad (t, nz, n) by the window margins so aligned windows at any
+    in-bounds scan offset stay inside the array."""
+    h, w = _window_hw(nprb)
+    return jnp.pad(x, ((0, 0), (0, h - nprb), (0, w - nprb)))
+
+
+def _aligned(y, x):
+    y0 = pl.multiple_of((y // _SUB) * _SUB, _SUB)
+    x0 = pl.multiple_of((x // _LANE) * _LANE, _LANE)
+    return y0, y - y0, x0, x - x0
+
+
+def _sel(n_out, n_in, r):
+    """One-hot selection matrix S (n_out, n_in) with S[i, i+r] = 1: S @ v
+    extracts rows r..r+n_out of v. Dynamic r becomes data, not addressing,
+    so the shift runs on the MXU with no alignment constraints."""
+    rows = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    return (cols == rows + r).astype(jnp.float32)
+
+
+def _dot(a, b, contract):
+    return lax.dot_general(a, b, (contract, ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _selection(y, x, nprb):
+    """Per-position shift matrices: returns (y0, x0, Sy (nprb, h),
+    Sx (nprb, w)) for the window at the aligned base (y0, x0)."""
+    y0, ry, x0, rx = _aligned(y, x)
+    h, w = _window_hw(nprb)
+    return y0, x0, _sel(nprb, h, ry), _sel(nprb, w, rx)
+
+
+def _extract(win, sy, sx):
+    """patch = Sy @ win @ Sx^T."""
+    tmp = _dot(sy, win, ((1,), (0,)))          # (nprb, w)
+    return _dot(tmp, sx, ((1,), (1,)))         # (nprb, nprb)
+
+
+def _place(val, sy, sx):
+    """window-shaped placement = Sy^T @ val @ Sx (margins exactly zero)."""
+    tmp = _dot(sy, val, ((0,), (0,)))          # (h, nprb)
+    return _dot(tmp, sx, ((1,), (0,)))         # (h, w)
+
+
+def _load_patch_sel(ref, y0, x0, sy, sx, nprb):
+    h, w = _window_hw(nprb)
+    win = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
+    return _extract(win, sy, sx)
+
+
+def _accum_patch_sel(ref, val, y0, x0, sy, sx, nprb):
+    """ref[window] += Sy^T @ val @ Sx via aligned read-modify-write."""
+    h, w = _window_hw(nprb)
+    cur = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
+    ref[0, pl.ds(y0, h), pl.ds(x0, w)] = cur + _place(val, sy, sx)
+
+
+# ---------------------------------------------------------------------------
+# fwd: gather patches and multiply by probe modes.
+# ---------------------------------------------------------------------------
+
+
+def _gather_mul_kernel(P, nmodes, nprb, sy, sx, pre, pim, bre, bim, ore,
+                       oim):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
+        y0, x0, smy, smx = _selection(y, x, nprb)
+        ar = _load_patch_sel(pre, y0, x0, smy, smx, nprb)
+        ai = _load_patch_sel(pim, y0, x0, smy, smx, nprb)
+        for m in range(nmodes):
+            br = bre[0, m]
+            bi = bim[0, m]
+            ore[0, p, m] = ar * br - ai * bi
+            oim[0, p, m] = ar * bi + ai * br
+
+
+def gather_probe_mul(psi: jax.Array, scan_int: jax.Array,
+                     prb: jax.Array) -> jax.Array:
+    """Fused gather+multiply: nearplane[t,s,m] = psi[patch(s)] * prb[m].
+
+    Args:
+      psi: ``(ntheta, nz, n)`` complex64.
+      scan_int: ``(ntheta, nscan, 2)`` int32 (y, x) in-bounds offsets.
+      prb: ``(ntheta, nmodes, nprb, nprb)`` complex64.
+
+    Returns:
+      ``(ntheta, nscan, nmodes, nprb, nprb)`` complex64.
+    """
+    t, nz, n = psi.shape
+    _, nmodes, nprb, _ = prb.shape
+    s = scan_int.shape[1]
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    bre, bim = _split_c64(prb)
+    wh, ww = _window_hw(nprb)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, P, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, s_pad, nmodes, nprb, nprb), jnp.float32),
+        jax.ShapeDtypeStruct((t, s_pad, nmodes, nprb, nprb), jnp.float32),
+    ]
+    ore, oim = pl.pallas_call(
+        functools.partial(_gather_mul_kernel, P, nmodes, nprb),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, pre, pim, bre, bim)
+    return lax.complex(ore, oim)[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# adj (object): conj(probe)-multiply, mode-sum, overlap scatter-add.
+# ---------------------------------------------------------------------------
+
+
+def _scatter_kernel(P, nmodes, nprb, sy, sx, fre, fim, bre, bim, ore, oim):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ore[...] = jnp.zeros_like(ore)
+        oim[...] = jnp.zeros_like(oim)
+
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
+        acc_re = jnp.zeros((nprb, nprb), jnp.float32)
+        acc_im = jnp.zeros((nprb, nprb), jnp.float32)
+        for m in range(nmodes):
+            fr = fre[0, p, m]
+            fi = fim[0, p, m]
+            br = bre[0, m]
+            bi = bim[0, m]
+            # conj(prb) * frame
+            acc_re = acc_re + (br * fr + bi * fi)
+            acc_im = acc_im + (br * fi - bi * fr)
+        y0, x0, smy, smx = _selection(y, x, nprb)
+        _accum_patch_sel(ore, acc_re, y0, x0, smy, smx, nprb)
+        _accum_patch_sel(oim, acc_im, y0, x0, smy, smx, nprb)
+
+
+def scatter_conj_probe(nearplane: jax.Array, scan_int: jax.Array,
+                       prb: jax.Array, nz: int, n: int) -> jax.Array:
+    """Adjoint-to-object accumulation (the reference's atomicAdd scatter,
+    made deterministic): ``psi_acc[patch(s)] += sum_m conj(prb_m) *
+    nearplane[s, m]``.
+
+    Args:
+      nearplane: ``(ntheta, nscan, nmodes, nprb, nprb)`` complex64
+        (IFFT'd, cropped frames).
+
+    Returns:
+      ``(ntheta, nz, n)`` complex64.
+    """
+    t, s, nmodes, nprb, _ = nearplane.shape
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    # Zero-padded frames contribute zero to the scatter: no masking needed.
+    fre, fim = _split_c64(nearplane)
+    fre = _pad_axis1(fre, s_pad)
+    fim = _pad_axis1(fim, s_pad)
+    bre, bim = _split_c64(prb)
+    wh, ww = _window_hw(nprb)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((1, P, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, P, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
+        jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
+    ]
+    ore, oim = pl.pallas_call(
+        functools.partial(_scatter_kernel, P, nmodes, nprb),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, fre, fim, bre, bim)
+    return lax.complex(ore, oim)[:, :nz, :n]
+
+
+# ---------------------------------------------------------------------------
+# adj (probe): gather patches, conj-multiply, reduce over positions.
+# ---------------------------------------------------------------------------
+
+
+def _adj_probe_kernel(P, nmodes, nprb, sy, sx, fre, fim, pre, pim, ore,
+                      oim):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ore[...] = jnp.zeros_like(ore)
+        oim[...] = jnp.zeros_like(oim)
+
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
+        y0, x0, smy, smx = _selection(y, x, nprb)
+        ar = _load_patch_sel(pre, y0, x0, smy, smx, nprb)
+        ai = _load_patch_sel(pim, y0, x0, smy, smx, nprb)
+        for m in range(nmodes):
+            fr = fre[0, p, m]
+            fi = fim[0, p, m]
+            # conj(psi_patch) * frame
+            ore[0, m] += ar * fr + ai * fi
+            oim[0, m] += ar * fi - ai * fr
+
+
+def adj_probe_reduce(nearplane: jax.Array, scan_int: jax.Array,
+                     psi: jax.Array) -> jax.Array:
+    """Probe adjoint: ``prb_acc[m] = sum_s conj(psi[patch(s)]) *
+    nearplane[s, m]`` (the reference's probe atomicAdd reduction, made
+    deterministic).
+
+    Returns:
+      ``(ntheta, nmodes, nprb, nprb)`` complex64.
+    """
+    t, s, nmodes, nprb, _ = nearplane.shape
+    _, nz, n = psi.shape
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    fre, fim = _split_c64(nearplane)
+    fre = _pad_axis1(fre, s_pad)
+    fim = _pad_axis1(fim, s_pad)
+    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    wh, ww = _window_hw(nprb)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((1, P, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, P, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
+        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
+    ]
+    ore, oim = pl.pallas_call(
+        functools.partial(_adj_probe_kernel, P, nmodes, nprb),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, fre, fim, pre, pim)
+    return lax.complex(ore, oim)

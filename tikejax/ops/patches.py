@@ -77,6 +77,18 @@ def _index_grids(scan_int: jax.Array, nprb: int):
     return iy, ix
 
 
+def _zeros(shape, dtype):
+    """Zeros that avoid eager complex-constant creation (restricted TPU
+    transports cannot upload complex constants; building the complex value
+    from two real zero planes stays device-side and folds under jit)."""
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        import numpy as np
+
+        real = jnp.zeros(shape, np.empty(0, dtype).real.dtype)
+        return lax.complex(real, real)
+    return jnp.zeros(shape, dtype)
+
+
 def scatter_patches_add(patches: jax.Array, scan_int: jax.Array, nz: int,
                         n: int) -> jax.Array:
     """Adjoint of :func:`gather_patches`: sum patches into a zero object.
@@ -96,7 +108,7 @@ def scatter_patches_add(patches: jax.Array, scan_int: jax.Array, nz: int,
     iy, ix = _index_grids(scan_int, nprb)
 
     def per_angle(p_t, iy_t, ix_t):
-        return jnp.zeros((nz, n), p_t.dtype).at[iy_t, ix_t].add(p_t)
+        return _zeros((nz, n), p_t.dtype).at[iy_t, ix_t].add(p_t)
 
     return jax.vmap(per_angle)(patches, iy, ix)
 

@@ -75,7 +75,7 @@ class CGOptions:
     step_shrink: float = 0.5
     max_halvings: int = 16
     nchunks: int = 1
-    kernel: str = "xla"
+    kernel: str = "auto"
     axis_name: str | None = None
     verbose_every: int = 0
 

@@ -1,0 +1,79 @@
+"""Checkpoint / resume of reconstruction state.
+
+The reference has no checkpointing at all -- ``run`` returns final arrays
+and users save .npy manually (SURVEY.md SS5). Here any pytree of arrays
+(psi, prb, metrics, solver state) round-trips through a single ``.npz``
+file. Complex arrays are stored as (real, imag) float pairs so the save
+path never performs a complex device->host transfer (see
+tikejax.utils.hostio) and the files are readable by plain numpy.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from tikejax.utils import hostio
+
+_COMPLEX_SUFFIX_RE = "__re"
+_COMPLEX_SUFFIX_IM = "__im"
+_SEP = "/"
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if _SEP in str(k):
+                raise ValueError(f"checkpoint key may not contain '{_SEP}': "
+                                 f"{k!r}")
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+        return out
+    key = prefix[:-1] if prefix.endswith(_SEP) else prefix
+    out[key] = tree
+    return out
+
+
+def save(path: str, tree) -> None:
+    """Save a (possibly nested dict) pytree of arrays to ``path`` (.npz)."""
+    flat = _flatten(tree)
+    arrays = {}
+    for k, v in flat.items():
+        host = hostio.to_host(v)
+        if np.iscomplexobj(host):
+            arrays[k + _COMPLEX_SUFFIX_RE] = host.real
+            arrays[k + _COMPLEX_SUFFIX_IM] = host.imag
+        else:
+            arrays[k] = host
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+
+
+def load(path: str, device: bool = False):
+    """Load a checkpoint saved by :func:`save`.
+
+    Returns a nested dict of numpy arrays (or device arrays if
+    ``device=True``, uploaded complex-safely).
+    """
+    with np.load(path) as z:
+        flat = {}
+        for k in z.files:
+            if k.endswith(_COMPLEX_SUFFIX_IM):
+                continue
+            if k.endswith(_COMPLEX_SUFFIX_RE):
+                base = k[:-len(_COMPLEX_SUFFIX_RE)]
+                flat[base] = z[k] + 1j * z[base + _COMPLEX_SUFFIX_IM]
+            else:
+                flat[k] = z[k]
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = hostio.to_device(v) if device else v
+    return tree
