@@ -22,15 +22,13 @@ Mosaic constraints shape the addressing scheme: dynamic vector loads/
 stores require the sublane offset to be a multiple of 8 and the lane
 offset a multiple of 128 (fp32). Scan offsets are arbitrary integers, so
 each access decomposes ``y = 8*(y//8) + ry``, ``x = 128*(x//128) + rx``
-and touches an **aligned** window of shape ``(roundup(nprb,8)+8,
-roundup(nprb,128)+128)``; the object array is padded by the window
-margins so windows never overrun. The residual (ry, rx) shift is applied
-as two small matmuls with one-hot selection matrices --
-``patch = S_y @ win @ S_x^T`` -- which rides the MXU and sidesteps
-``pltpu.roll``'s dynamic-shift restrictions (axis-0 dynamic rotates
-mis-shift on non-vreg-aligned sublane counts on v5e). The scatter uses
-the transposed selections to place the patch back into the window before
-an aligned read-modify-write. Scan offsets arrive via scalar prefetch
+and touches an **aligned** power-of-two window (see ``_window_hw``); the
+object array is padded by the window margins so windows never overrun.
+The residual (ry, rx) shift is applied with dynamic sublane/lane rotates
+(``pltpu.roll``); window shapes are power-of-two because v5e's dynamic
+sublane rotate silently mis-shifts on non-pow2 row counts. The scatter
+rotates a zero-margined placement the other way before an aligned
+read-modify-write. Scan offsets arrive via scalar prefetch
 (``PrefetchScalarGridSpec``).
 
 Pallas TPU has no complex dtype: complex arrays cross the kernel boundary
@@ -83,12 +81,23 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
+def _next_pow2(v):
+    p = 1
+    while p < v:
+        p *= 2
+    return p
+
+
 def _window_hw(nprb):
-    """Aligned window shape enclosing an nprb x nprb patch at any offset:
-    height/width rounded to sublane/lane quanta (Mosaic's dynamic rotates
-    require fully aligned vector shapes) plus one alignment quantum of
-    slack for the offset remainder."""
-    return _round_up(nprb, _SUB) + _SUB, _round_up(nprb, _LANE) + _LANE
+    """Aligned window shape enclosing an nprb x nprb patch at any offset.
+
+    Power-of-two sizes, not just sublane/lane-aligned ones: v5e's dynamic
+    sublane rotate (tpu.dynamic_rotate on axis 0) produces wrong results
+    for non-power-of-two row counts (e.g. 72 rows mis-shifts by +32;
+    empirically verified 32/64/128/256 correct, 40/72/136/144 wrong), and
+    the lane dimension must be >= nprb + 128 for the offset remainder."""
+    return (max(_next_pow2(nprb + _SUB), 2 * _SUB),
+            max(_next_pow2(nprb + _LANE), 2 * _LANE))
 
 
 def _pad_object(x, nprb):
@@ -104,51 +113,32 @@ def _aligned(y, x):
     return y0, y - y0, x0, x - x0
 
 
-def _sel(n_out, n_in, r):
-    """One-hot selection matrix S (n_out, n_in) with S[i, i+r] = 1: S @ v
-    extracts rows r..r+n_out of v. Dynamic r becomes data, not addressing,
-    so the shift runs on the MXU with no alignment constraints."""
-    rows = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
-    return (cols == rows + r).astype(jnp.float32)
-
-
-def _dot(a, b, contract):
-    return lax.dot_general(a, b, (contract, ((), ())),
-                           preferred_element_type=jnp.float32)
-
-
-def _selection(y, x, nprb):
-    """Per-position shift matrices: returns (y0, x0, Sy (nprb, h),
-    Sx (nprb, w)) for the window at the aligned base (y0, x0)."""
+def _load_patch(ref, y, x, nprb):
+    """Read the nprb x nprb patch at arbitrary (y, x) from a padded ref:
+    aligned pow2 window + dynamic sublane/lane rotates (cheap VPU data
+    movement; the window lives in VMEM so the over-read costs no HBM)."""
     y0, ry, x0, rx = _aligned(y, x)
     h, w = _window_hw(nprb)
-    return y0, x0, _sel(nprb, h, ry), _sel(nprb, w, rx)
-
-
-def _extract(win, sy, sx):
-    """patch = Sy @ win @ Sx^T."""
-    tmp = _dot(sy, win, ((1,), (0,)))          # (nprb, w)
-    return _dot(tmp, sx, ((1,), (1,)))         # (nprb, nprb)
-
-
-def _place(val, sy, sx):
-    """window-shaped placement = Sy^T @ val @ Sx (margins exactly zero)."""
-    tmp = _dot(sy, val, ((0,), (0,)))          # (h, nprb)
-    return _dot(tmp, sx, ((1,), (0,)))         # (h, w)
-
-
-def _load_patch_sel(ref, y0, x0, sy, sx, nprb):
-    h, w = _window_hw(nprb)
     win = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
-    return _extract(win, sy, sx)
+    win = pltpu.roll(win, -ry, axis=0)
+    win = pltpu.roll(win, -rx, axis=1)
+    return win[:nprb, :nprb]
 
 
-def _accum_patch_sel(ref, val, y0, x0, sy, sx, nprb):
-    """ref[window] += Sy^T @ val @ Sx via aligned read-modify-write."""
+def _accum_patch(ref, val, y, x, nprb):
+    """ref[patch at (y, x)] += val via aligned read-modify-write; the
+    rotated margins are exactly zero so the RMW adds nothing outside the
+    patch."""
+    y0, ry, x0, rx = _aligned(y, x)
     h, w = _window_hw(nprb)
+    padded = jnp.concatenate(
+        [val, jnp.zeros((nprb, w - nprb), jnp.float32)], axis=1)
+    padded = jnp.concatenate(
+        [padded, jnp.zeros((h - nprb, w), jnp.float32)], axis=0)
+    padded = pltpu.roll(padded, ry, axis=0)
+    padded = pltpu.roll(padded, rx, axis=1)
     cur = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
-    ref[0, pl.ds(y0, h), pl.ds(x0, w)] = cur + _place(val, sy, sx)
+    ref[0, pl.ds(y0, h), pl.ds(x0, w)] = cur + padded
 
 
 # ---------------------------------------------------------------------------
@@ -163,9 +153,8 @@ def _gather_mul_kernel(P, nmodes, nprb, sy, sx, pre, pim, bre, bim, ore,
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        y0, x0, smy, smx = _selection(y, x, nprb)
-        ar = _load_patch_sel(pre, y0, x0, smy, smx, nprb)
-        ai = _load_patch_sel(pim, y0, x0, smy, smx, nprb)
+        ar = _load_patch(pre, y, x, nprb)
+        ai = _load_patch(pim, y, x, nprb)
         for m in range(nmodes):
             br = bre[0, m]
             bi = bim[0, m]
@@ -255,9 +244,8 @@ def _scatter_kernel(P, nmodes, nprb, sy, sx, fre, fim, bre, bim, ore, oim):
             # conj(prb) * frame
             acc_re = acc_re + (br * fr + bi * fi)
             acc_im = acc_im + (br * fi - bi * fr)
-        y0, x0, smy, smx = _selection(y, x, nprb)
-        _accum_patch_sel(ore, acc_re, y0, x0, smy, smx, nprb)
-        _accum_patch_sel(oim, acc_im, y0, x0, smy, smx, nprb)
+        _accum_patch(ore, acc_re, y, x, nprb)
+        _accum_patch(oim, acc_im, y, x, nprb)
 
 
 def scatter_conj_probe(nearplane: jax.Array, scan_int: jax.Array,
@@ -335,9 +323,8 @@ def _adj_probe_kernel(P, nmodes, nprb, sy, sx, fre, fim, pre, pim, ore,
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        y0, x0, smy, smx = _selection(y, x, nprb)
-        ar = _load_patch_sel(pre, y0, x0, smy, smx, nprb)
-        ai = _load_patch_sel(pim, y0, x0, smy, smx, nprb)
+        ar = _load_patch(pre, y, x, nprb)
+        ai = _load_patch(pim, y, x, nprb)
         for m in range(nmodes):
             fr = fre[0, p, m]
             fi = fim[0, p, m]

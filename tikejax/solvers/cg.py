@@ -156,13 +156,17 @@ class _Engine:
     # -- gradient passes ----------------------------------------------------
 
     def grad_pass(self, psi, prb, scan, data):
-        """One pass over all positions: returns (minf, grad_psi, grad_prb).
+        """One pass over all positions: returns (minf, grad_psi, grad_prb,
+        fpsi).
 
         grad_prb is None unless recover_prb. In streaming mode
         (nchunks > 1) this is a lax.scan over scan chunks with accumulated
-        outputs; the full farplane never exists.
+        outputs; the full farplane never exists and fpsi is None -- in
+        materialised mode fpsi is returned so the line-search pass can
+        reuse it instead of re-running the forward model.
         """
         o = self.o
+        fpsi = None
         if o.nchunks == 1:
             fpsi = self._fwd(psi, scan, prb)
             f0 = self.minf_fn(fpsi, data)
@@ -197,9 +201,10 @@ class _Engine:
         gpsi = _psum(gpsi, o.axis_name)
         if gprb is not None:
             gprb = _psum(gprb, o.axis_name)
-        return f0, gpsi, gprb
+        return f0, gpsi, gprb, fpsi
 
-    def quad_pass(self, psi, prb, scan, data, *, dpsi=None, dprb=None):
+    def quad_pass(self, psi, prb, scan, data, *, dpsi=None, dprb=None,
+                  fpsi=None):
         """Line-search statistics for a step along dpsi (object step) or
         dprb (probe step): returns closure gamma -> global minf(gamma).
 
@@ -218,7 +223,9 @@ class _Engine:
             return fp, fd
 
         if o.nchunks == 1:
-            fp, fd = fwd_pair(scan)
+            fp = fpsi if fpsi is not None else self._fwd(psi, scan, prb)
+            fd = (self._fwd(dpsi, scan, prb)
+                  if dpsi is not None else self._fwd(psi, scan, dprb))
             a, b, c = _quad_stats(fp, fd)
 
             def f_of(gamma):
@@ -320,10 +327,10 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
         psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, metrics = st
 
         # ---- object step ----
-        f0, gpsi, gprb = eng.grad_pass(psi, prb, scan, data)
+        f0, gpsi, gprb, fpsi = eng.grad_pass(psi, prb, scan, data)
         gpsi = _precondition(gpsi, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
-        f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi)
+        f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi, fpsi=fpsi)
         gamma = eng.line_search(f_of, f0, real_dtype)
         psi = psi + gamma.astype(psi.dtype) * d_psi
         g_psi_prev = gpsi
@@ -333,9 +340,10 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
             # ---- probe step (alternating, reference style) ----
             # Gradient w.r.t. prb at the *updated* psi: recompute the
             # residual pass (the farplane changed with psi).
-            f0p, _, gprb = eng.grad_pass(psi, prb, scan, data)
+            f0p, _, gprb, fpsi2 = eng.grad_pass(psi, prb, scan, data)
             d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb)
-            f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb)
+            f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
+                                   fpsi=fpsi2)
             gamma_p = eng.line_search(f_of_p, f0p, real_dtype)
             prb = prb + gamma_p.astype(prb.dtype) * d_prb
             g_prb_prev = gprb
