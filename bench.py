@@ -16,11 +16,21 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tikejax import Geometry
 from tikejax.models import make_problem
 from tikejax.solvers import run
 from tikejax.utils import cones, scalar
+
+
+def sync(x):
+    """Force completion via a dependent host readback. On some TPU
+    transports jax.block_until_ready returns before execution finishes;
+    a readback is the only reliable barrier."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.jit(
+        lambda v: jnp.abs(v).ravel()[0:1].astype(jnp.float32))(leaf))
 
 # Estimated reference-on-V100 iteration rate for the headline config; see
 # BASELINE.md for the derivation (FFT FLOPs + atomicAdd scatter bandwidth).
@@ -37,17 +47,18 @@ def main():
 
     g = Geometry(nz=512, n=512, nscan=16384, ndet=128, nprb=128)
     psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(0), g)
-    jax.block_until_ready(data)
+    sync(data)
     psi0 = cones(g.psi_shape)
     log("problem simulated")
 
-    piter = 20
-    opts = dict(piter=piter, model="gaussian", nchunks=8)
+    # Long enough that the ~0.4s readback-sync overhead distorts <2%.
+    piter = 50
+    opts = dict(piter=piter, model="gaussian")
 
     # Warm-up: compile + one full run.
     t0 = time.time()
     psi, _, metrics = run(data, psi0, scan, prb, g, **opts)
-    jax.block_until_ready(psi)
+    sync(psi)
     log(f"compile+first run: {time.time() - t0:.1f}s; "
         f"minf {scalar(metrics['minf'][0]):.4e} -> "
         f"{scalar(metrics['minf'][-1]):.4e}")
@@ -55,7 +66,7 @@ def main():
     # Steady state.
     t0 = time.time()
     psi, _, metrics = run(data, psi0, scan, prb, g, **opts)
-    jax.block_until_ready(psi)
+    sync(psi)
     dt = time.time() - t0
     iters_per_sec = piter / dt
 
@@ -68,9 +79,9 @@ def main():
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC_V100_EST,
                              3),
         "config": "512^2 object, 16384 positions, 128^2 probe/det, "
-                  "gaussian, nchunks=8",
+                  "gaussian",
         "device": f"{dev.platform}:{dev.device_kind}",
-        "seconds_for_20_iters": round(dt, 3),
+        "seconds_for_50_iters": round(dt, 3),
         "minf_first_iter": minf0,
         "minf_last_iter": minf_last,
         "baseline_note": "V100 estimate, no published numbers "
