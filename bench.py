@@ -72,6 +72,7 @@ def main():
 
     minf0 = scalar(metrics["minf"][0])
     minf_last = scalar(metrics["minf"][-1])
+    res_last = scalar(metrics["residual"][-1])
     result = {
         "metric": "cg_iters_per_sec_512obj_16kpos",
         "value": round(iters_per_sec, 3),
@@ -84,6 +85,7 @@ def main():
         "seconds_for_50_iters": round(dt, 3),
         "minf_first_iter": minf0,
         "minf_last_iter": minf_last,
+        "rel_residual_last_iter": res_last,
         "baseline_note": "V100 estimate, no published numbers "
                          "(BASELINE.md)",
     }

@@ -77,9 +77,6 @@ def _split_c64(x):
     return (jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
 
 
-def _round_up(v, m):
-    return -(-v // m) * m
-
 
 def _next_pow2(v):
     p = 1

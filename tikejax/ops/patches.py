@@ -113,6 +113,44 @@ def scatter_patches_add(patches: jax.Array, scan_int: jax.Array, nz: int,
     return jax.vmap(per_angle)(patches, iy, ix)
 
 
+def illumination_map(scan_int: jax.Array, kernel: jax.Array, nz: int,
+                     n: int) -> jax.Array:
+    """Sum of a fixed ``(ntheta, nprb, nprb)`` real kernel scattered at all
+    scan offsets -- the probe-illumination map ``sum_k T_k(kernel)`` --
+    computed as an FFT convolution of the position delta map with the
+    kernel: O((nz*n) log) instead of O(nscan * nprb^2) scatter. Used as
+    the object-gradient preconditioner denominator.
+    """
+    ntheta = scan_int.shape[0]
+    nprb = kernel.shape[-1]
+    h, w = nz + nprb, n + nprb
+    tt = jnp.arange(ntheta, dtype=jnp.int32)[:, None]
+    delta = jnp.zeros((ntheta, h, w), kernel.dtype).at[
+        tt, scan_int[..., 0], scan_int[..., 1]].add(1)
+    kpad = jnp.pad(kernel, ((0, 0), (0, h - nprb), (0, w - nprb)))
+    conv = jnp.fft.irfft2(
+        jnp.fft.rfft2(delta) * jnp.fft.rfft2(kpad), s=(h, w))
+    return conv[:, :nz, :n]
+
+
+def patch_power_map(scan_int: jax.Array, field_power: jax.Array,
+                    nprb: int) -> jax.Array:
+    """``out[dy, dx] = sum_k field_power[y_k+dy, x_k+dx]`` -- the total
+    object power seen by each probe pixel across all scan positions (the
+    probe-gradient preconditioner denominator), via FFT cross-correlation
+    of the position delta map with the power map.
+    """
+    ntheta, nz, n = field_power.shape
+    h, w = nz + nprb, n + nprb
+    tt = jnp.arange(ntheta, dtype=jnp.int32)[:, None]
+    delta = jnp.zeros((ntheta, h, w), field_power.dtype).at[
+        tt, scan_int[..., 0], scan_int[..., 1]].add(1)
+    fpad = jnp.pad(field_power, ((0, 0), (0, nprb), (0, nprb)))
+    corr = jnp.fft.irfft2(
+        jnp.conj(jnp.fft.rfft2(delta)) * jnp.fft.rfft2(fpad), s=(h, w))
+    return corr[:, :nprb, :nprb]
+
+
 def overlap_counts(scan_int: jax.Array, nz: int, n: int, nprb: int,
                    dtype=jnp.float32) -> jax.Array:
     """Per-pixel patch coverage count: scatter of all-ones patches.

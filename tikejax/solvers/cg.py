@@ -78,6 +78,16 @@ class CGOptions:
     kernel: str = "auto"
     axis_name: str | None = None
     verbose_every: int = 0
+    # Gradient preconditioner: 'illum' divides the object gradient by the
+    # probe-illumination map (and the probe gradient by the object power
+    # map) -- pixelwise, the classic ptychography preconditioner, usually
+    # much better conditioned than the reference's scalar 1/max|prb|^2
+    # ('max'); 'none' disables.
+    precondition: str = "illum"
+    # Warm-start the backtracking from 4x the previous accepted step
+    # (bounded by step0): saves objective evaluations once the step size
+    # stabilises, and recovers larger steps when the landscape allows.
+    adaptive_step: bool = True
 
 
 def _rdot(a, b):
@@ -136,6 +146,9 @@ class _Engine:
                 f"nchunks ({o.nchunks}) must divide nscan ({g.nscan})")
         if o.model not in likelihoods.MODELS:
             raise ValueError(f"unknown model {o.model!r}")
+        if o.precondition not in ("illum", "max", "none"):
+            raise ValueError(f"unknown precondition {o.precondition!r}; "
+                             "expected 'illum', 'max', or 'none'")
         self.g = g
         self.o = o
         self.minf_fn, self.resid_fn = likelihoods.get_model(o.model)
@@ -266,12 +279,17 @@ class _Engine:
 
     # -- line search ----------------------------------------------------
 
-    def line_search(self, f_of, f0, dtype):
-        """Backtracking: largest gamma in {step0 * shrink^k} with
-        f(gamma) <= f0; gamma = 0 if none within max_halvings (matches the
-        reference's simple-decrease halving search)."""
+    def line_search(self, f_of, f0, dtype, gamma_prev=None):
+        """Backtracking: largest gamma in {gamma0 * shrink^k} with
+        f(gamma) <= f0; gamma = 0 if none within max_halvings (the
+        reference's simple-decrease halving search). With adaptive_step,
+        gamma0 warm-starts from 4x the previously accepted step."""
         o = self.o
         gamma0 = jnp.asarray(o.step0, dtype)
+        if o.adaptive_step and gamma_prev is not None:
+            gamma0 = jnp.where(gamma_prev > 0,
+                               jnp.minimum(gamma0, 4.0 * gamma_prev),
+                               gamma0).astype(dtype)
 
         def cond(st):
             gamma, fg, k = st
@@ -308,30 +326,79 @@ def _precondition(gpsi, prb):
     return gpsi * scale[:, None, None]
 
 
+def _precondition_psi_illum(gpsi, prb, scan_int, nz, n, axis_name):
+    """Pixelwise object preconditioner: divide by the probe-illumination
+    map sum_k T_k(sum_m |prb_m|^2), regularised at 10% of its max (the
+    classic ptychography preconditioner; far better conditioned than the
+    scalar scaling when overlap density varies)."""
+    from tikejax.ops import patches as _patches
+
+    power = jnp.sum(jnp.abs(prb)**2, axis=1)  # (t, nprb, nprb)
+    illum = _patches.illumination_map(scan_int, power, nz, n)
+    illum = _psum(illum, axis_name)
+    floor = 0.1 * jnp.max(illum, axis=(-2, -1), keepdims=True)
+    return gpsi / jnp.maximum(illum, floor).astype(gpsi.dtype)
+
+
+def _precondition_prb_illum(gprb, psi, scan_int, axis_name):
+    """Pixelwise probe preconditioner: divide by the object power seen by
+    each probe pixel across all positions, regularised at 10% of max."""
+    from tikejax.ops import patches as _patches
+
+    nprb = gprb.shape[-1]
+    field_power = jnp.abs(psi)**2  # (t, nz, n)
+    seen = _patches.patch_power_map(scan_int, field_power, nprb)
+    seen = _psum(seen, axis_name)
+    floor = 0.1 * jnp.max(seen, axis=(-2, -1), keepdims=True)
+    return gprb / jnp.maximum(seen, floor)[:, None].astype(gprb.dtype)
+
+
 def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
     """Unjitted CG loop body. Called under jit by :func:`run`, or inside
     ``shard_map`` by :mod:`tikejax.parallel` (which sets options.axis_name
     and passes the per-shard geometry)."""
+    from tikejax.ops import patches as _patches
+
     eng = _Engine(geometry, options)
     o = options
     real_dtype = np.empty(0, dtype=np.result_type(psi0.dtype)).real.dtype
 
+    scan_i = _patches.scan_to_int(scan)
+    # Normalisation for the relative data residual sqrt(minf / sum(data))
+    # (meaningful for the gaussian amplitude objective).
+    sum_data = _psum(jnp.sum(jnp.maximum(data, 0.0)), o.axis_name)
+
     metrics0 = {
         "minf": jnp.zeros((o.piter,), real_dtype),
+        "residual": jnp.zeros((o.piter,), real_dtype),
         "gamma": jnp.zeros((o.piter,), real_dtype),
         "grad_norm": jnp.zeros((o.piter,), real_dtype),
         "gamma_prb": jnp.zeros((o.piter,), real_dtype),
     }
 
+    def precond_psi(gpsi, prb):
+        if o.precondition == "illum":
+            return _precondition_psi_illum(gpsi, prb, scan_i, geometry.nz,
+                                           geometry.n, o.axis_name)
+        if o.precondition == "max":
+            return _precondition(gpsi, prb)
+        return gpsi
+
+    def precond_prb(gprb, psi):
+        if o.precondition == "illum":
+            return _precondition_prb_illum(gprb, psi, scan_i, o.axis_name)
+        return gprb
+
     def body(i, st):
-        psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, metrics = st
+        (psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, gam_prev,
+         gam_p_prev, metrics) = st
 
         # ---- object step ----
         f0, gpsi, gprb, fpsi = eng.grad_pass(psi, prb, scan, data)
-        gpsi = _precondition(gpsi, prb)
+        gpsi = precond_psi(gpsi, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
         f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi, fpsi=fpsi)
-        gamma = eng.line_search(f_of, f0, real_dtype)
+        gamma = eng.line_search(f_of, f0, real_dtype, gam_prev)
         psi = psi + gamma.astype(psi.dtype) * d_psi
         g_psi_prev = gpsi
 
@@ -341,15 +408,19 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
             # Gradient w.r.t. prb at the *updated* psi: recompute the
             # residual pass (the farplane changed with psi).
             f0p, _, gprb, fpsi2 = eng.grad_pass(psi, prb, scan, data)
+            gprb = precond_prb(gprb, psi)
             d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb)
             f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
                                    fpsi=fpsi2)
-            gamma_p = eng.line_search(f_of_p, f0p, real_dtype)
+            gamma_p = eng.line_search(f_of_p, f0p, real_dtype, gam_p_prev)
             prb = prb + gamma_p.astype(prb.dtype) * d_prb
             g_prb_prev = gprb
 
+        residual = jnp.sqrt(
+            jnp.maximum(f0, 0.0) / sum_data).astype(real_dtype)
         metrics = {
             "minf": metrics["minf"].at[i].set(f0.astype(real_dtype)),
+            "residual": metrics["residual"].at[i].set(residual),
             "gamma": metrics["gamma"].at[i].set(gamma),
             "grad_norm": metrics["grad_norm"].at[i].set(
                 jnp.sqrt(_rdot(gpsi, gpsi)).astype(real_dtype)),
@@ -361,10 +432,12 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
                     "iter {i}: minf={f:.6e} gamma={g:.4f}", i=i, f=f0, g=gamma)
                 return 0
             lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
-        return psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, metrics
+        return (psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, gamma,
+                gamma_p, metrics)
 
     st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
-           jnp.zeros_like(prb0), jnp.zeros_like(prb0), metrics0)
+           jnp.zeros_like(prb0), jnp.zeros_like(prb0),
+           jnp.zeros((), real_dtype), jnp.zeros((), real_dtype), metrics0)
     psi, prb, *_, metrics = lax.fori_loop(0, o.piter, body, st0)
     return psi, prb, metrics
 
@@ -379,7 +452,9 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
 
     Returns:
       (psi, prb, metrics) where metrics is a dict of per-iteration arrays
-      {'minf', 'gamma', 'grad_norm', 'gamma_prb'} of shape (piter,).
+      {'minf', 'residual', 'gamma', 'grad_norm', 'gamma_prb'} of shape
+      (piter,); 'residual' is the relative amplitude misfit
+      sqrt(minf / sum(data)) (gaussian objective scale).
     """
     if options is None:
         options = CGOptions(**kw)
