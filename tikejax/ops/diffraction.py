@@ -39,14 +39,18 @@ from tikejax.geometry import Geometry
 from tikejax.ops import patches as _patches
 from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 
-# Gather/scatter implementations. 'auto' resolves to the Pallas fast path
-# on TPU and the XLA oracle elsewhere, at trace time.
-_KERNELS = ("xla", "pallas", "auto")
+# Operator implementations, selected at trace time:
+#   'xla'    -- XLA gather/scatter + XLA FFT (oracle path; CPU/fp64).
+#   'pallas' -- Pallas gather/scatter kernels + XLA FFT (hybrid).
+#   'fused'  -- single Pallas kernel per operator with the 2-D DFT done as
+#               MXU matmuls inside (no intermediate nearplane; fastest).
+#   'auto'   -- 'fused' on TPU, 'xla' elsewhere.
+_KERNELS = ("xla", "pallas", "fused", "auto")
 
 
 def resolve_kernel(kernel: str) -> str:
     if kernel == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return "fused" if jax.default_backend() == "tpu" else "xla"
     return kernel
 
 
@@ -102,6 +106,10 @@ def fwd_raw(psi: jax.Array, scan: jax.Array, prb: jax.Array, ndet: int,
     _check_kernel(kernel)
     kernel = resolve_kernel(kernel)
     scan_int = _patches.scan_to_int(scan)
+    if kernel == "fused":
+        from tikejax.ops import pallas_fused
+
+        return pallas_fused.fwd(psi, scan_int, prb, ndet)
     nearplane = _nearplane_fwd(psi, scan_int, prb, kernel)  # (t, s, m, p, p)
     return fft2o(pad_to_det(nearplane, ndet))
 
@@ -113,6 +121,10 @@ def adj_raw(farplane: jax.Array, scan: jax.Array, prb: jax.Array, nz: int,
     kernel = resolve_kernel(kernel)
     nprb = prb.shape[-1]
     scan_int = _patches.scan_to_int(scan)
+    if kernel == "fused":
+        from tikejax.ops import pallas_fused
+
+        return pallas_fused.adj(farplane, scan_int, prb, nz, n)
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
     return _adj_object(nearplane, scan_int, prb, nz, n, kernel)
 
@@ -123,6 +135,10 @@ def adj_probe_raw(farplane: jax.Array, scan: jax.Array, psi: jax.Array,
     _check_kernel(kernel)
     kernel = resolve_kernel(kernel)
     scan_int = _patches.scan_to_int(scan)
+    if kernel == "fused":
+        from tikejax.ops import pallas_fused
+
+        return pallas_fused.adj_probe(farplane, scan_int, psi, nprb)
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
     return _adj_probe_acc(nearplane, scan_int, psi, kernel)
 
