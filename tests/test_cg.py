@@ -123,6 +123,37 @@ def test_ntheta_batched(rng):
     assert_decreasing(metrics["minf"])
 
 
+def test_fused_kernel_cg(rng):
+    """Full CG on the fused MXU-DFT kernel path (interpret mode on CPU)
+    matches the XLA path."""
+    g = Geometry(nz=64, n=64, nscan=16, ndet=32, nprb=24)
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
+    psi_a, _, ma = run(data, psi0, scan, prb, g, piter=6, kernel="xla")
+    psi_b, _, mb = run(data, psi0, scan, prb, g, piter=6, kernel="fused")
+    np.testing.assert_allclose(np.asarray(ma["minf"]), np.asarray(mb["minf"]),
+                               rtol=1e-3)
+
+
+def test_precondition_options(rng):
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    for pre in ["illum", "max", "none"]:
+        _, _, m = run(data, psi0, scan, prb, GEOM_SMALL, piter=6,
+                      precondition=pre)
+        assert m["minf"][-1] < m["minf"][0]
+    with pytest.raises(ValueError, match="precondition"):
+        run(data, psi0, scan, prb, GEOM_SMALL, piter=2, precondition="bogus")
+
+
+def test_residual_metric(rng):
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    _, _, m = run(data, psi0, scan, prb, GEOM_SMALL, piter=8)
+    res = np.asarray(m["residual"])
+    minf = np.asarray(m["minf"])
+    sumd = float(jnp.sum(jnp.maximum(data, 0.0)))
+    np.testing.assert_allclose(res, np.sqrt(np.maximum(minf, 0) / sumd),
+                               rtol=1e-5)
+
+
 def test_options_validation():
     g = GEOM_SMALL
     with pytest.raises(ValueError, match="nchunks"):

@@ -9,7 +9,8 @@ minibatching, and scan-axis sharding across a TPU mesh.
 
 from tikejax.geometry import Geometry
 from tikejax.ops.diffraction import Ptycho
+from tikejax.solvers import CGOptions, run
 
 __version__ = "0.1.0"
 
-__all__ = ["Geometry", "Ptycho", "__version__"]
+__all__ = ["Geometry", "Ptycho", "CGOptions", "run", "__version__"]

@@ -68,9 +68,19 @@ def _dft_factors(ndet: int, nprb: int):
     return jnp.asarray(fr), jnp.asarray(fi)
 
 
+# MXU precision of the DFT factor matmuls. Measured on v5e (512^2/16k
+# headline config): DEFAULT = ~8.5e-4 relative operator error vs the FFT
+# path at ~25-38 CG iters/s; HIGHEST (full-f32 passes) = ~2e-7 error at
+# ~15 iters/s. Precision.HIGH is not supported by Mosaic. Set to HIGHEST
+# for metrology-grade operator accuracy (and call jax.clear_caches() if
+# changing after traces exist).
+PRECISION = lax.Precision.DEFAULT
+
+
 def _dot(a, b, contract):
     return lax.dot_general(a, b, (contract, ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=PRECISION)
 
 
 def _dft2(nr, ni, fr, fi):
