@@ -134,6 +134,18 @@ def test_fused_kernel_cg(rng):
                                rtol=1e-3)
 
 
+def test_fused_linesearch_option(rng):
+    """Opt-in fused line-search kernel matches the quadratic backtracking
+    path (interpret mode on CPU)."""
+    g = Geometry(nz=64, n=64, nscan=16, ndet=32, nprb=24)
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
+    psi_a, _, ma = run(data, psi0, scan, prb, g, piter=6, kernel="fused")
+    psi_b, _, mb = run(data, psi0, scan, prb, g, piter=6, kernel="fused",
+                       fused_linesearch=True)
+    np.testing.assert_allclose(np.asarray(ma["minf"]), np.asarray(mb["minf"]),
+                               rtol=1e-3)
+
+
 def test_precondition_options(rng):
     psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
     for pre in ["illum", "max", "none"]:

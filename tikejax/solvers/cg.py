@@ -88,6 +88,12 @@ class CGOptions:
     # (bounded by step0): saves objective evaluations once the step size
     # stabilises, and recovers larger steps when the landscape allows.
     adaptive_step: bool = True
+    # Evaluate the whole line-search candidate set in one fused Pallas
+    # pass instead of quadratic-statistics backtracking. Measured SLOWER
+    # on v5e (the K per-pixel sqrt evaluations are VPU-bound: 30 vs 39
+    # iters/s on the headline config) and VMEM-heavier for many modes;
+    # kept as an option for bandwidth-starved regimes.
+    fused_linesearch: bool = False
 
 
 def _rdot(a, b):
@@ -165,6 +171,12 @@ class _Engine:
     def _adj_probe(self, farp, scan, psi):
         return diffraction.adj_probe_raw(farp, scan, psi, self.g.nprb,
                                          self.o.kernel)
+
+    def _fwd_probe_dir(self, psi, scan, dprb):
+        """Farplane of a probe-direction perturbation (fwd is linear in
+        the probe, so this is G evaluated with dprb as the probe)."""
+        return diffraction.fwd_raw(psi, scan, dprb, self.g.ndet,
+                                   self.o.kernel)
 
     # -- gradient passes ----------------------------------------------------
 
@@ -279,17 +291,47 @@ class _Engine:
 
     # -- line search ----------------------------------------------------
 
-    def line_search(self, f_of, f0, dtype, gamma_prev=None):
-        """Backtracking: largest gamma in {gamma0 * shrink^k} with
-        f(gamma) <= f0; gamma = 0 if none within max_halvings (the
-        reference's simple-decrease halving search). With adaptive_step,
-        gamma0 warm-starts from 4x the previously accepted step."""
+    def _gamma0(self, dtype, gamma_prev):
         o = self.o
         gamma0 = jnp.asarray(o.step0, dtype)
         if o.adaptive_step and gamma_prev is not None:
             gamma0 = jnp.where(gamma_prev > 0,
                                jnp.minimum(gamma0, 4.0 * gamma_prev),
                                gamma0).astype(dtype)
+        return gamma0
+
+    def use_fused_linesearch(self) -> bool:
+        """Fused one-pass candidate evaluation applies in materialised mode
+        on the Pallas kernel paths (kernel != 'xla' after resolution)."""
+        return (self.o.fused_linesearch and self.o.nchunks == 1 and
+                diffraction.resolve_kernel(self.o.kernel) != "xla")
+
+    def line_search_all(self, fpsi, fd, data, f0, dtype, gamma_prev=None):
+        """One-pass line search: evaluate the whole backtracking candidate
+        set {gamma0 * shrink^k} with the fused Pallas kernel and pick the
+        first decrease (identical policy to the while_loop backtracking,
+        but the entire search costs a single memory pass)."""
+        from tikejax.ops import pallas_linesearch
+
+        o = self.o
+        gamma0 = self._gamma0(dtype, gamma_prev)
+        shrinks = jnp.asarray(o.step_shrink, jnp.float32) ** jnp.arange(
+            o.max_halvings, dtype=jnp.float32)
+        gammas = gamma0.astype(jnp.float32) * shrinks
+        fvals = pallas_linesearch.ls_objectives(fpsi, fd, data, gammas,
+                                                o.model)
+        fvals = _psum(fvals, o.axis_name)
+        ok = fvals <= f0
+        idx = jnp.argmax(ok)
+        return jnp.where(jnp.any(ok), gammas[idx], 0.0).astype(dtype)
+
+    def line_search(self, f_of, f0, dtype, gamma_prev=None):
+        """Backtracking: largest gamma in {gamma0 * shrink^k} with
+        f(gamma) <= f0; gamma = 0 if none within max_halvings (the
+        reference's simple-decrease halving search). With adaptive_step,
+        gamma0 warm-starts from 4x the previously accepted step."""
+        o = self.o
+        gamma0 = self._gamma0(dtype, gamma_prev)
 
         def cond(st):
             gamma, fg, k = st
@@ -397,8 +439,14 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
         f0, gpsi, gprb, fpsi = eng.grad_pass(psi, prb, scan, data)
         gpsi = precond_psi(gpsi, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
-        f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi, fpsi=fpsi)
-        gamma = eng.line_search(f_of, f0, real_dtype, gam_prev)
+        if eng.use_fused_linesearch():
+            fd = eng._fwd(d_psi, scan, prb)
+            gamma = eng.line_search_all(fpsi, fd, data, f0, real_dtype,
+                                        gam_prev)
+        else:
+            f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi,
+                                 fpsi=fpsi)
+            gamma = eng.line_search(f_of, f0, real_dtype, gam_prev)
         psi = psi + gamma.astype(psi.dtype) * d_psi
         g_psi_prev = gpsi
 
@@ -410,9 +458,15 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
             f0p, _, gprb, fpsi2 = eng.grad_pass(psi, prb, scan, data)
             gprb = precond_prb(gprb, psi)
             d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb)
-            f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
-                                   fpsi=fpsi2)
-            gamma_p = eng.line_search(f_of_p, f0p, real_dtype, gam_p_prev)
+            if eng.use_fused_linesearch():
+                fdp = eng._fwd_probe_dir(psi, scan, d_prb)
+                gamma_p = eng.line_search_all(fpsi2, fdp, data, f0p,
+                                              real_dtype, gam_p_prev)
+            else:
+                f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
+                                       fpsi=fpsi2)
+                gamma_p = eng.line_search(f_of_p, f0p, real_dtype,
+                                          gam_p_prev)
             prb = prb + gamma_p.astype(prb.dtype) * d_prb
             g_prb_prev = gprb
 
