@@ -63,11 +63,20 @@ def main():
         f"minf {scalar(metrics['minf'][0]):.4e} -> "
         f"{scalar(metrics['minf'][-1]):.4e}")
 
+    # Measure the readback-sync RPC overhead and subtract it from the
+    # steady-state timing (it is ~0.4s on tunneled transports, ~0 locally).
+    tiny = jnp.ones((8, 128))
+    sync(tiny)
+    t0 = time.time()
+    sync(tiny)
+    sync_overhead = time.time() - t0
+    log(f"sync overhead: {sync_overhead * 1000:.0f} ms")
+
     # Steady state.
     t0 = time.time()
     psi, _, metrics = run(data, psi0, scan, prb, g, **opts)
     sync(psi)
-    dt = time.time() - t0
+    dt = max(time.time() - t0 - sync_overhead, 1e-9)
     iters_per_sec = piter / dt
 
     minf0 = scalar(metrics["minf"][0])
