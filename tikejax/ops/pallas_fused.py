@@ -347,3 +347,116 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
         interpret=_interpret(),
     )(sy, sx, fr, fi, gre, gim, pre, pim)
     return lax.complex(ore, oim)
+
+
+# ---------------------------------------------------------------------------
+# Gradient pass: residual + objective + adjoint in ONE kernel.
+# ---------------------------------------------------------------------------
+
+
+def _adj_residual_kernel(P, nmodes, nprb, model, sy, sx, fr, fi, gre, gim,
+                         dat, bre, bim, ore, oim, fsum):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ore[...] = jnp.zeros_like(ore)
+        oim[...] = jnp.zeros_like(oim)
+        fsum[0, 0] = jnp.float32(0.0)
+
+    minf_acc = jnp.zeros((), jnp.float32)
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
+        # Incoherent intensity over modes, residual factor, objective.
+        intensity = jnp.zeros_like(dat[0, p])
+        for m in range(nmodes):
+            intensity = intensity + gre[0, p, m] ** 2 + gim[0, p, m] ** 2
+        d = jnp.maximum(dat[0, p], 0.0)
+        if model == "gaussian":
+            amp = jnp.sqrt(intensity + 1e-12)
+            sq = jnp.sqrt(d)
+            factor = 1.0 - sq / amp
+            minf_acc = minf_acc + jnp.sum((amp - sq) ** 2)
+        else:  # poisson
+            factor = 1.0 - d / (intensity + 1e-8)
+            minf_acc = minf_acc + jnp.sum(
+                intensity - d * jnp.log(intensity + 1e-8))
+        acc_re = jnp.zeros((nprb, nprb), jnp.float32)
+        acc_im = jnp.zeros((nprb, nprb), jnp.float32)
+        for m in range(nmodes):
+            rr = gre[0, p, m] * factor
+            ri = gim[0, p, m] * factor
+            nr, ni = _idft2(rr, ri, fr[...], fi[...])
+            br = bre[0, m]
+            bi = bim[0, m]
+            acc_re = acc_re + (br * nr + bi * ni)
+            acc_im = acc_im + (br * ni - bi * nr)
+        _accum_patch(ore, acc_re, y, x, nprb)
+        _accum_patch(oim, acc_im, y, x, nprb)
+    fsum[0, 0] += minf_acc
+
+
+def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
+                 prb: jax.Array, nz: int, n: int, model: str):
+    """Whole gradient tail in one pass over the farplane: compute the
+    likelihood residual (gaussian or poisson), the scalar objective, the
+    IDFT, the conj-probe multiply, and the deterministic overlap scatter.
+
+    Returns:
+      (psi_acc ``(ntheta, nz, n)`` complex64, minf ``()`` float32).
+    """
+    t, s, nmodes, ndet, _ = farplane.shape
+    nprb = prb.shape[-1]
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    gre, gim = _split_c64(farplane)
+    gre = _pad_axis1(gre, s_pad)
+    gim = _pad_axis1(gim, s_pad)
+    # Padded frames have I=0 and d=0: zero objective and zero residual
+    # contribution for both models.
+    dat = _pad_axis1(data.astype(jnp.float32), s_pad)
+    bre, bim = _split_c64(prb)
+    fr, fi = _dft_factors(ndet, nprb)
+    wh, ww = _window_hw(nprb)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, P, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
+        jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
+        jax.ShapeDtypeStruct((t, 1), jnp.float32),
+    ]
+    ore, oim, fsum = pl.pallas_call(
+        functools.partial(_adj_residual_kernel, P, nmodes, nprb, model),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, fr, fi, gre, gim, dat, bre, bim)
+    return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)

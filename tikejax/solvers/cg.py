@@ -180,24 +180,40 @@ class _Engine:
 
     # -- gradient passes ----------------------------------------------------
 
-    def grad_pass(self, psi, prb, scan, data):
+    def grad_pass(self, psi, prb, scan, data, want_psi=True,
+                  want_prb=False):
         """One pass over all positions: returns (minf, grad_psi, grad_prb,
-        fpsi).
+        fpsi). Gradients not requested via want_psi/want_prb are None
+        (the joint solver requests only what each alternation step uses).
 
-        grad_prb is None unless recover_prb. In streaming mode
-        (nchunks > 1) this is a lax.scan over scan chunks with accumulated
-        outputs; the full farplane never exists and fpsi is None -- in
-        materialised mode fpsi is returned so the line-search pass can
-        reuse it instead of re-running the forward model.
+        In streaming mode (nchunks > 1) this is a lax.scan over scan
+        chunks with accumulated outputs; the full farplane never exists
+        and fpsi is None -- in materialised mode fpsi is returned so the
+        line-search pass can reuse it instead of re-running the forward
+        model. On the fused kernel path the object-gradient case runs the
+        residual + objective + adjoint-scatter as ONE Pallas pass over the
+        farplane (pallas_fused.adj_residual).
         """
         o = self.o
         fpsi = None
+        gpsi = gprb = None
         if o.nchunks == 1:
             fpsi = self._fwd(psi, scan, prb)
-            f0 = self.minf_fn(fpsi, data)
-            resid = self.resid_fn(fpsi, data)
-            gpsi = self._adj(resid, scan, prb)
-            gprb = self._adj_probe(resid, scan, psi) if o.recover_prb else None
+            if (want_psi and not want_prb and
+                    diffraction.resolve_kernel(o.kernel) == "fused"):
+                from tikejax.ops import pallas_fused
+                from tikejax.ops import patches as _patches
+
+                scan_i = _patches.scan_to_int(scan)
+                gpsi, f0 = pallas_fused.adj_residual(
+                    fpsi, data, scan_i, prb, self.g.nz, self.g.n, o.model)
+            else:
+                f0 = self.minf_fn(fpsi, data)
+                resid = self.resid_fn(fpsi, data)
+                if want_psi:
+                    gpsi = self._adj(resid, scan, prb)
+                if want_prb:
+                    gprb = self._adj_probe(resid, scan, psi)
         else:
             scan_c = _chunked(scan, o.nchunks)
             data_c = _chunked(data, o.nchunks)
@@ -208,8 +224,9 @@ class _Engine:
                 fp = self._fwd(psi, sc, prb)
                 f_acc = f_acc + self.minf_fn(fp, dc)
                 r = self.resid_fn(fp, dc)
-                gpsi_acc = gpsi_acc + self._adj(r, sc, prb)
-                if o.recover_prb:
+                if want_psi:
+                    gpsi_acc = gpsi_acc + self._adj(r, sc, prb)
+                if want_prb:
                     gprb_acc = gprb_acc + self._adj_probe(r, sc, psi)
                 return (f_acc, gpsi_acc, gprb_acc), None
 
@@ -217,13 +234,16 @@ class _Engine:
             init = jax.tree.map(
                 lambda x: _pvary(x, o.axis_name),
                 (jnp.zeros((), real_dtype),
-                 jnp.zeros_like(psi),
-                 jnp.zeros_like(prb) if o.recover_prb else jnp.zeros(())))
+                 jnp.zeros_like(psi) if want_psi else jnp.zeros(()),
+                 jnp.zeros_like(prb) if want_prb else jnp.zeros(())))
             (f0, gpsi, gprb), _ = lax.scan(step, init, (scan_c, data_c))
-            if not o.recover_prb:
+            if not want_psi:
+                gpsi = None
+            if not want_prb:
                 gprb = None
         f0 = _psum(f0, o.axis_name)
-        gpsi = _psum(gpsi, o.axis_name)
+        if gpsi is not None:
+            gpsi = _psum(gpsi, o.axis_name)
         if gprb is not None:
             gprb = _psum(gprb, o.axis_name)
         return f0, gpsi, gprb, fpsi
@@ -436,7 +456,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
          gam_p_prev, metrics) = st
 
         # ---- object step ----
-        f0, gpsi, gprb, fpsi = eng.grad_pass(psi, prb, scan, data)
+        f0, gpsi, _, fpsi = eng.grad_pass(psi, prb, scan, data,
+                                          want_psi=True, want_prb=False)
         gpsi = precond_psi(gpsi, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
         if eng.use_fused_linesearch():
@@ -455,7 +476,9 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
             # ---- probe step (alternating, reference style) ----
             # Gradient w.r.t. prb at the *updated* psi: recompute the
             # residual pass (the farplane changed with psi).
-            f0p, _, gprb, fpsi2 = eng.grad_pass(psi, prb, scan, data)
+            f0p, _, gprb, fpsi2 = eng.grad_pass(psi, prb, scan, data,
+                                                want_psi=False,
+                                                want_prb=True)
             gprb = precond_prb(gprb, psi)
             d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb)
             if eng.use_fused_linesearch():
