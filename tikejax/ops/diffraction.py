@@ -40,18 +40,28 @@ from tikejax.ops import patches as _patches
 from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 
 # Operator implementations, selected at trace time:
-#   'xla'    -- XLA gather/scatter + XLA FFT (oracle path; CPU/fp64).
-#   'pallas' -- Pallas gather/scatter kernels + XLA FFT (hybrid).
-#   'fused'  -- single Pallas kernel per operator with the 2-D DFT done as
-#               MXU matmuls inside (no intermediate nearplane; fastest).
-#   'auto'   -- 'fused' on TPU, 'xla' elsewhere.
-_KERNELS = ("xla", "pallas", "fused", "auto")
+#   'xla'      -- XLA gather/scatter + XLA FFT (oracle path; CPU/fp64).
+#   'pallas'   -- Pallas gather/scatter kernels + XLA FFT (hybrid).
+#   'fused'    -- single Pallas kernel per operator with the 2-D DFT done
+#                 as MXU matmuls inside (no intermediate nearplane;
+#                 fastest; ~1e-3 operator accuracy in f32).
+#   'fused_hp' -- same kernels with full-f32 MXU passes (~2e-7 operator
+#                 accuracy, roughly half the CG rate): use when chasing
+#                 deep residuals.
+#   'auto'     -- 'fused' on TPU, 'xla' elsewhere.
+_KERNELS = ("xla", "pallas", "fused", "fused_hp", "auto")
 
 
 def resolve_kernel(kernel: str) -> str:
     if kernel == "auto":
         return "fused" if jax.default_backend() == "tpu" else "xla"
     return kernel
+
+
+def _fused_precision(kernel: str):
+    import jax.lax as lax
+
+    return lax.Precision.HIGHEST if kernel == "fused_hp" else None
 
 
 def _nearplane_fwd(psi, scan_int, prb, kernel):
@@ -106,10 +116,11 @@ def fwd_raw(psi: jax.Array, scan: jax.Array, prb: jax.Array, ndet: int,
     _check_kernel(kernel)
     kernel = resolve_kernel(kernel)
     scan_int = _patches.scan_to_int(scan)
-    if kernel == "fused":
+    if kernel.startswith("fused"):
         from tikejax.ops import pallas_fused
 
-        return pallas_fused.fwd(psi, scan_int, prb, ndet)
+        return pallas_fused.fwd(psi, scan_int, prb, ndet,
+                                precision=_fused_precision(kernel))
     nearplane = _nearplane_fwd(psi, scan_int, prb, kernel)  # (t, s, m, p, p)
     return fft2o(pad_to_det(nearplane, ndet))
 
@@ -121,10 +132,11 @@ def adj_raw(farplane: jax.Array, scan: jax.Array, prb: jax.Array, nz: int,
     kernel = resolve_kernel(kernel)
     nprb = prb.shape[-1]
     scan_int = _patches.scan_to_int(scan)
-    if kernel == "fused":
+    if kernel.startswith("fused"):
         from tikejax.ops import pallas_fused
 
-        return pallas_fused.adj(farplane, scan_int, prb, nz, n)
+        return pallas_fused.adj(farplane, scan_int, prb, nz, n,
+                                precision=_fused_precision(kernel))
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
     return _adj_object(nearplane, scan_int, prb, nz, n, kernel)
 
@@ -135,10 +147,11 @@ def adj_probe_raw(farplane: jax.Array, scan: jax.Array, psi: jax.Array,
     _check_kernel(kernel)
     kernel = resolve_kernel(kernel)
     scan_int = _patches.scan_to_int(scan)
-    if kernel == "fused":
+    if kernel.startswith("fused"):
         from tikejax.ops import pallas_fused
 
-        return pallas_fused.adj_probe(farplane, scan_int, psi, nprb)
+        return pallas_fused.adj_probe(farplane, scan_int, psi, nprb,
+                                      precision=_fused_precision(kernel))
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
     return _adj_probe_acc(nearplane, scan_int, psi, kernel)
 

@@ -70,40 +70,40 @@ def _dft_factors(ndet: int, nprb: int):
 
 # MXU precision of the DFT factor matmuls. Measured on v5e (512^2/16k
 # headline config): DEFAULT = ~8.5e-4 relative operator error vs the FFT
-# path at ~25-38 CG iters/s; HIGHEST (full-f32 passes) = ~2e-7 error at
-# ~15 iters/s. Precision.HIGH is not supported by Mosaic. Set to HIGHEST
-# for metrology-grade operator accuracy (and call jax.clear_caches() if
-# changing after traces exist).
+# path (residual floor ~2e-3) at full speed; HIGHEST (full-f32 passes) =
+# ~2e-7 error at roughly half the CG rate. Precision.HIGH is not
+# supported by Mosaic. Selected per call via kernel='fused' vs
+# 'fused_hp' (see ops.diffraction).
 PRECISION = lax.Precision.DEFAULT
 
 
-def _dot(a, b, contract):
+def _dot(a, b, contract, prec):
     return lax.dot_general(a, b, (contract, ((), ())),
                            preferred_element_type=jnp.float32,
-                           precision=PRECISION)
+                           precision=prec)
 
 
-def _dft2(nr, ni, fr, fi):
+def _dft2(nr, ni, fr, fi, prec):
     """(F @ near @ F^T) for near (nprb, nprb), F (ndet, nprb) split re/im.
     Returns farplane (ndet, ndet) re/im."""
     # t = F @ near : (ndet, nprb)
-    tr = _dot(fr, nr, ((1,), (0,))) - _dot(fi, ni, ((1,), (0,)))
-    ti = _dot(fr, ni, ((1,), (0,))) + _dot(fi, nr, ((1,), (0,)))
+    tr = _dot(fr, nr, ((1,), (0,)), prec) - _dot(fi, ni, ((1,), (0,)), prec)
+    ti = _dot(fr, ni, ((1,), (0,)), prec) + _dot(fi, nr, ((1,), (0,)), prec)
     # far = t @ F^T : contract t dim1 with F dim1
-    rr = _dot(tr, fr, ((1,), (1,))) - _dot(ti, fi, ((1,), (1,)))
-    ri = _dot(tr, fi, ((1,), (1,))) + _dot(ti, fr, ((1,), (1,)))
+    rr = _dot(tr, fr, ((1,), (1,)), prec) - _dot(ti, fi, ((1,), (1,)), prec)
+    ri = _dot(tr, fi, ((1,), (1,)), prec) + _dot(ti, fr, ((1,), (1,)), prec)
     return rr, ri
 
 
-def _idft2(gr, gi, fr, fi):
+def _idft2(gr, gi, fr, fi, prec):
     """Adjoint of :func:`_dft2`: (F^H @ far @ conj(F)) for far (ndet,
     ndet). Returns nearplane (nprb, nprb) re/im."""
     # t = F^H @ far : (nprb, ndet); F^H = conj(F)^T
-    tr = _dot(fr, gr, ((0,), (0,))) + _dot(fi, gi, ((0,), (0,)))
-    ti = _dot(fr, gi, ((0,), (0,))) - _dot(fi, gr, ((0,), (0,)))
+    tr = _dot(fr, gr, ((0,), (0,)), prec) + _dot(fi, gi, ((0,), (0,)), prec)
+    ti = _dot(fr, gi, ((0,), (0,)), prec) - _dot(fi, gr, ((0,), (0,)), prec)
     # near = t @ conj(F) : contract t dim1 (ndet) with F dim0
-    rr = _dot(tr, fr, ((1,), (0,))) + _dot(ti, fi, ((1,), (0,)))
-    ri = _dot(ti, fr, ((1,), (0,))) - _dot(tr, fi, ((1,), (0,)))
+    rr = _dot(tr, fr, ((1,), (0,)), prec) + _dot(ti, fi, ((1,), (0,)), prec)
+    ri = _dot(ti, fr, ((1,), (0,)), prec) - _dot(tr, fi, ((1,), (0,)), prec)
     return rr, ri
 
 
@@ -112,8 +112,8 @@ def _idft2(gr, gi, fr, fi):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(P, nmodes, nprb, sy, sx, fr, fi, pre, pim, bre, bim, ore,
-                oim):
+def _fwd_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, pre, pim, bre, bim,
+                ore, oim):
     i = pl.program_id(0)
     j = pl.program_id(1)
     for p in range(P):
@@ -126,13 +126,13 @@ def _fwd_kernel(P, nmodes, nprb, sy, sx, fr, fi, pre, pim, bre, bim, ore,
             bi = bim[0, m]
             nr = ar * br - ai * bi
             ni = ar * bi + ai * br
-            rr, ri = _dft2(nr, ni, fr[...], fi[...])
+            rr, ri = _dft2(nr, ni, fr[...], fi[...], prec)
             ore[0, p, m] = rr
             oim[0, p, m] = ri
 
 
 def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
-        ndet: int) -> jax.Array:
+        ndet: int, precision=None) -> jax.Array:
     """Fused forward: farplane[t,s,m] = DFT2(pad(psi[patch(s)] * prb[m])).
 
     Returns ``(ntheta, nscan, nmodes, ndet, ndet)`` complex64.
@@ -175,7 +175,8 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
         jax.ShapeDtypeStruct((t, s_pad, nmodes, ndet, ndet), jnp.float32),
     ]
     ore, oim = pl.pallas_call(
-        functools.partial(_fwd_kernel, P, nmodes, nprb),
+        functools.partial(_fwd_kernel, P, nmodes, nprb,
+                          precision or PRECISION),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -188,8 +189,8 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _adj_kernel(P, nmodes, nprb, sy, sx, fr, fi, gre, gim, bre, bim, ore,
-                oim):
+def _adj_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, bre, bim,
+                ore, oim):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -204,7 +205,8 @@ def _adj_kernel(P, nmodes, nprb, sy, sx, fr, fi, gre, gim, bre, bim, ore,
         acc_re = jnp.zeros((nprb, nprb), jnp.float32)
         acc_im = jnp.zeros((nprb, nprb), jnp.float32)
         for m in range(nmodes):
-            nr, ni = _idft2(gre[0, p, m], gim[0, p, m], fr[...], fi[...])
+            nr, ni = _idft2(gre[0, p, m], gim[0, p, m], fr[...], fi[...],
+                            prec)
             br = bre[0, m]
             bi = bim[0, m]
             # conj(prb) * near
@@ -215,7 +217,7 @@ def _adj_kernel(P, nmodes, nprb, sy, sx, fr, fi, gre, gim, bre, bim, ore,
 
 
 def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
-        n: int) -> jax.Array:
+        n: int, precision=None) -> jax.Array:
     """Fused adjoint-to-object: IDFT, crop, conj(prb)-multiply, mode-sum,
     deterministic overlap scatter-add -- one pass over the farplane.
 
@@ -260,7 +262,8 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
     ]
     ore, oim = pl.pallas_call(
-        functools.partial(_adj_kernel, P, nmodes, nprb),
+        functools.partial(_adj_kernel, P, nmodes, nprb,
+                          precision or PRECISION),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -273,8 +276,8 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
 # ---------------------------------------------------------------------------
 
 
-def _adj_probe_kernel(P, nmodes, nprb, sy, sx, fr, fi, gre, gim, pre, pim,
-                      ore, oim):
+def _adj_probe_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, pre,
+                      pim, ore, oim):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -289,14 +292,15 @@ def _adj_probe_kernel(P, nmodes, nprb, sy, sx, fr, fi, gre, gim, pre, pim,
         ar = _load_patch(pre, y, x, nprb)
         ai = _load_patch(pim, y, x, nprb)
         for m in range(nmodes):
-            nr, ni = _idft2(gre[0, p, m], gim[0, p, m], fr[...], fi[...])
+            nr, ni = _idft2(gre[0, p, m], gim[0, p, m], fr[...], fi[...],
+                            prec)
             # conj(psi_patch) * near
             ore[0, m] += ar * nr + ai * ni
             oim[0, m] += ar * ni - ai * nr
 
 
 def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
-              nprb: int) -> jax.Array:
+              nprb: int, precision=None) -> jax.Array:
     """Fused probe adjoint: IDFT + conj(patch)-multiply + reduce over all
     scan positions, one pass over the farplane.
 
@@ -341,7 +345,8 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
         jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
     ]
     ore, oim = pl.pallas_call(
-        functools.partial(_adj_probe_kernel, P, nmodes, nprb),
+        functools.partial(_adj_probe_kernel, P, nmodes, nprb,
+                          precision or PRECISION),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -354,8 +359,8 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _adj_residual_kernel(P, nmodes, nprb, model, sy, sx, fr, fi, gre, gim,
-                         dat, bre, bim, ore, oim, fsum):
+def _adj_residual_kernel(P, nmodes, nprb, model, prec, sy, sx, fr, fi, gre,
+                         gim, dat, bre, bim, ore, oim, fsum):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -388,7 +393,7 @@ def _adj_residual_kernel(P, nmodes, nprb, model, sy, sx, fr, fi, gre, gim,
         for m in range(nmodes):
             rr = gre[0, p, m] * factor
             ri = gim[0, p, m] * factor
-            nr, ni = _idft2(rr, ri, fr[...], fi[...])
+            nr, ni = _idft2(rr, ri, fr[...], fi[...], prec)
             br = bre[0, m]
             bi = bim[0, m]
             acc_re = acc_re + (br * nr + bi * ni)
@@ -399,7 +404,8 @@ def _adj_residual_kernel(P, nmodes, nprb, model, sy, sx, fr, fi, gre, gim,
 
 
 def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
-                 prb: jax.Array, nz: int, n: int, model: str):
+                 prb: jax.Array, nz: int, n: int, model: str,
+                 precision=None):
     """Whole gradient tail in one pass over the farplane: compute the
     likelihood residual (gaussian or poisson), the scalar objective, the
     IDFT, the conj-probe multiply, and the deterministic overlap scatter.
@@ -454,9 +460,107 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
         jax.ShapeDtypeStruct((t, 1), jnp.float32),
     ]
     ore, oim, fsum = pl.pallas_call(
-        functools.partial(_adj_residual_kernel, P, nmodes, nprb, model),
+        functools.partial(_adj_residual_kernel, P, nmodes, nprb, model,
+                          precision or PRECISION),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(sy, sx, fr, fi, gre, gim, dat, bre, bim)
     return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)
+
+
+# ---------------------------------------------------------------------------
+# Line-search statistics pass: forward of the direction fused with the
+# quadratic statistics -- the direction farplane never touches HBM.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_quad_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, dre, dim_, bre,
+                     bim, pre_psi, pim_psi, oa, ob, oc):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
+        ar = _load_patch(dre, y, x, nprb)
+        ai = _load_patch(dim_, y, x, nprb)
+        a = jnp.zeros((oa.shape[-2], oa.shape[-1]), jnp.float32)
+        b = jnp.zeros_like(a)
+        c = jnp.zeros_like(a)
+        for m in range(nmodes):
+            br = bre[0, m]
+            bi = bim[0, m]
+            nr = ar * br - ai * bi
+            ni = ar * bi + ai * br
+            fdr, fdi = _dft2(nr, ni, fr[...], fi[...], prec)
+            fpr = pre_psi[0, p, m]
+            fpi = pim_psi[0, p, m]
+            a = a + fpr * fpr + fpi * fpi
+            b = b + fpr * fdr + fpi * fdi
+            c = c + fdr * fdr + fdi * fdi
+        oa[0, p] = a
+        ob[0, p] = b
+        oc[0, p] = c
+
+
+def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
+                   fpsi: jax.Array, precision=None):
+    """Line-search sufficient statistics in one pass: computes the
+    direction farplane G(dpsi) frame-by-frame in VMEM (gather + probe
+    multiply + MXU DFT) and immediately reduces it against the current
+    farplane into the per-pixel quadratic coefficients
+
+        a = sum_m |G psi|^2, b = sum_m Re(conj(G psi) G d),
+        c = sum_m |G d|^2,
+
+    so the direction farplane never exists in HBM.
+
+    Returns:
+      (a, b, c) each ``(ntheta, nscan, ndet, ndet)`` float32.
+    """
+    t, s, nmodes, ndet, _ = fpsi.shape
+    nprb = prb.shape[-1]
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    dre, dim_ = (_pad_object(x, nprb) for x in _split_c64(dpsi))
+    bre, bim = _split_c64(prb)
+    fre, fim = (_pad_axis1(x, s_pad) for x in _split_c64(fpsi))
+    fr, fi = _dft_factors(ndet, nprb)
+    wh, ww = _window_hw(nprb)
+    hz, wn = dpsi.shape[1] + wh - nprb, dpsi.shape[2] + ww - nprb
+
+    stat_spec = pl.BlockSpec((1, P, ndet, ndet),
+                             lambda i, j, *_: (i, j, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0, 0)),
+        ],
+        out_specs=[stat_spec, stat_spec, stat_spec],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, s_pad, ndet, ndet), jnp.float32)
+        for _ in range(3)
+    ]
+    oa, ob, oc = pl.pallas_call(
+        functools.partial(_fwd_quad_kernel, P, nmodes, nprb,
+                          precision or PRECISION),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, fr, fi, dre, dim_, bre, bim, fre, fim)
+    return oa[:, :s], ob[:, :s], oc[:, :s]

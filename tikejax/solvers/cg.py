@@ -199,14 +199,16 @@ class _Engine:
         gpsi = gprb = None
         if o.nchunks == 1:
             fpsi = self._fwd(psi, scan, prb)
-            if (want_psi and not want_prb and
-                    diffraction.resolve_kernel(o.kernel) == "fused"):
+            resolved = diffraction.resolve_kernel(o.kernel)
+            if want_psi and not want_prb and resolved.startswith("fused"):
+                from tikejax.ops import diffraction as _diffr
                 from tikejax.ops import pallas_fused
                 from tikejax.ops import patches as _patches
 
                 scan_i = _patches.scan_to_int(scan)
                 gpsi, f0 = pallas_fused.adj_residual(
-                    fpsi, data, scan_i, prb, self.g.nz, self.g.n, o.model)
+                    fpsi, data, scan_i, prb, self.g.nz, self.g.n, o.model,
+                    precision=_diffr._fused_precision(resolved))
             else:
                 f0 = self.minf_fn(fpsi, data)
                 resid = self.resid_fn(fpsi, data)
@@ -269,9 +271,26 @@ class _Engine:
 
         if o.nchunks == 1:
             fp = fpsi if fpsi is not None else self._fwd(psi, scan, prb)
-            fd = (self._fwd(dpsi, scan, prb)
-                  if dpsi is not None else self._fwd(psi, scan, dprb))
-            a, b, c = _quad_stats(fp, fd)
+            resolved = diffraction.resolve_kernel(o.kernel)
+            if resolved.startswith("fused"):
+                # One-pass statistics: the direction farplane is computed
+                # frame-by-frame in VMEM and reduced in place.
+                from tikejax.ops import diffraction as _diffr
+                from tikejax.ops import pallas_fused
+                from tikejax.ops import patches as _patches
+
+                scan_i = _patches.scan_to_int(scan)
+                prec = _diffr._fused_precision(resolved)
+                if dpsi is not None:
+                    a, b, c = pallas_fused.fwd_quad_stats(
+                        dpsi, scan_i, prb, fp, precision=prec)
+                else:
+                    a, b, c = pallas_fused.fwd_quad_stats(
+                        psi, scan_i, dprb, fp, precision=prec)
+            else:
+                fd = (self._fwd(dpsi, scan, prb)
+                      if dpsi is not None else self._fwd(psi, scan, dprb))
+                a, b, c = _quad_stats(fp, fd)
 
             def f_of(gamma):
                 return _psum(
