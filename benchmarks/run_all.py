@@ -1,0 +1,168 @@
+"""Acceptance-configuration benchmark suite (BASELINE.json:7-11).
+
+Runs each acceptance config end-to-end on the attached device and prints
+one JSON line per config plus a summary table to stderr. The headline
+single-number benchmark remains bench.py at the repo root.
+
+Configs (BASELINE.md):
+  1. fwd/adj round-trip adjoint identity, 256^2 obj / 64^2 prb / 100 pos
+  2. Gaussian CG object-only, 256^2 / 64^2 / 1k pos / 32 iters
+  3. Joint object+probe Poisson, 512^2 / 128^2 / 4k pos
+  4. Multi-mode (4) + minibatched, 16k pos
+  5. Position-sharded CG (runs when >1 device is attached; on a single
+     chip it is reported as skipped -- the CPU-mesh equivalence test
+     lives in tests/test_sharding.py)
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tikejax import Geometry
+from tikejax.models import make_problem
+from tikejax.ops import adj_probe_raw, adj_raw, fwd_raw
+from tikejax.solvers import run
+from tikejax.utils import cones, scalar, to_host
+
+
+def sync(x):
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.jit(
+        lambda v: jnp.abs(v).ravel()[0:1].astype(jnp.float32))(leaf))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def sync_overhead():
+    tiny = jnp.ones((8, 128))
+    sync(tiny)
+    t0 = time.time()
+    sync(tiny)
+    return time.time() - t0
+
+
+def config1():
+    g = Geometry(nz=256, n=256, nscan=100, ndet=64, nprb=64)
+    psi, scan, prb, _ = make_problem(jax.random.PRNGKey(0), g)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    farp = jax.jit(lambda a, b: jax.lax.complex(a, b))(
+        jax.random.normal(k1, g.farplane_shape),
+        jax.random.normal(k2, g.farplane_shape))
+    out = {"config": 1, "name": "adjoint_roundtrip_256_64_100",
+           "note": "c128 identity verified to 1e-12 in tests; these are "
+                   "the on-device f32 runs per kernel"}
+    for kern in ("fused", "fused_hp"):
+        lhs = jnp.vdot(fwd_raw(psi, scan, prb, g.ndet, kern), farp)
+        rhs_o = jnp.vdot(psi, adj_raw(farp, scan, prb, g.nz, g.n, kern))
+        rhs_p = jnp.vdot(prb, adj_probe_raw(farp, scan, psi, g.nprb, kern))
+        out[f"object_adjoint_rel_err_{kern}"] = scalar(
+            jnp.abs(lhs - rhs_o) / jnp.abs(lhs))
+        out[f"probe_adjoint_rel_err_{kern}"] = scalar(
+            jnp.abs(lhs - rhs_p) / jnp.abs(lhs))
+    out["pass"] = bool(out["object_adjoint_rel_err_fused_hp"] < 1e-5 and
+                       out["probe_adjoint_rel_err_fused_hp"] < 1e-5)
+    emit(out)
+
+
+def _timed_cg(g, piter, overhead, repeats=1, **kw):
+    """Time `repeats` back-to-back dispatches of a piter-iteration run
+    between two readback syncs: the device executes them in order, so
+    dt = (raw - overhead) / repeats. Use repeats > 1 when a single run
+    would be comparable to the RPC noise."""
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(0), g)
+    sync(data)
+    psi0 = cones(g.psi_shape)
+    r, p, m = run(data, psi0, scan, prb, g, piter=piter, **kw)
+    sync(r)
+    t0 = time.time()
+    for _ in range(repeats):
+        r, p, m = run(data, psi0, scan, prb, g, piter=piter, **kw)
+    sync(r)
+    dt = max((time.time() - t0 - overhead) / repeats, 1e-9)
+    res = to_host(m["residual"])
+    minf = to_host(m["minf"])
+    return dt, minf, res
+
+
+def config2(overhead):
+    g = Geometry(nz=256, n=256, nscan=1024, ndet=64, nprb=64)
+    # enough iterations that RPC noise is negligible on small configs
+    dt, minf, res = _timed_cg(g, 256, overhead, repeats=10)
+    emit({"config": 2, "name": "gaussian_object_256_64_1k",
+          "iters_per_sec": round(256 / dt, 2),
+          "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
+          "residual_last": float(res[-1]),
+          "pass": bool(minf[-1] < minf[0])})
+
+
+def config3(overhead):
+    g = Geometry(nz=512, n=512, nscan=4096, ndet=128, nprb=128)
+    dt, minf, res = _timed_cg(g, 128, overhead, repeats=3,
+                              model="poisson", recover_prb=True)
+    emit({"config": 3, "name": "joint_poisson_512_128_4k",
+          "iters_per_sec": round(128 / dt, 2),
+          "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
+          "pass": bool(minf[-1] < minf[0])})
+
+
+def config4(overhead):
+    g = Geometry(nz=512, n=512, nscan=16384, ndet=64, nprb=64, nmodes=4)
+    dt, minf, res = _timed_cg(g, 48, overhead, nchunks=8)
+    emit({"config": 4, "name": "multimode4_minibatched_16k",
+          "iters_per_sec": round(48 / dt, 2),
+          "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
+          "residual_last": float(res[-1]),
+          "pass": bool(minf[-1] < minf[0])})
+
+
+def config5(overhead):
+    ndev = len(jax.devices())
+    if ndev < 2:
+        emit({"config": 5, "name": "position_sharded_64k",
+              "skipped": f"single device attached ({ndev}); CPU-mesh "
+                         "equivalence covered in tests/test_sharding.py"})
+        return
+    from tikejax.parallel import make_mesh, run_sharded, shard_problem
+
+    g = Geometry(nz=512, n=512, nscan=65536, ndet=128, nprb=128)
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(0), g)
+    mesh = make_mesh()
+    data, scan = shard_problem(mesh, data, scan)
+    psi0 = cones(g.psi_shape)
+    r, p, m = run_sharded(data, psi0, scan, prb, g, mesh, piter=16)
+    sync(r)
+    t0 = time.time()
+    r, p, m = run_sharded(data, psi0, scan, prb, g, mesh, piter=16)
+    sync(r)
+    dt = max(time.time() - t0 - overhead, 1e-9)
+    minf = to_host(m["minf"])
+    emit({"config": 5, "name": "position_sharded_64k",
+          "devices": ndev, "iters_per_sec": round(16 / dt, 2),
+          "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
+          "pass": bool(minf[-1] < minf[0])})
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind} x{len(jax.devices())}")
+    overhead = sync_overhead()
+    log(f"sync overhead: {overhead * 1000:.0f} ms")
+    config1()
+    config2(overhead)
+    config3(overhead)
+    config4(overhead)
+    config5(overhead)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,10 @@ class CGOptions:
       max_halvings: bound on backtracking steps (then gamma=0, no move).
       nchunks: scan-position minibatching factor; >1 streams chunks through
         lax.scan without materialising the full farplane. Must divide nscan.
-      kernel: 'xla' or 'pallas' gather/scatter implementation.
+      kernel: operator implementation -- 'auto' (default: fused on TPU),
+        'fused' (one Pallas kernel per operator, MXU DFT), 'fused_hp'
+        (same at full-f32 precision for deep residuals), 'pallas'
+        (Pallas gather/scatter + XLA FFT), 'xla' (oracle).
       axis_name: mesh axis name for scan-sharded execution (psum of scalars
         and gradients); None for single-device runs.
       verbose_every: if >0, jax.debug.print (iter, minf, gamma) every N
