@@ -117,8 +117,10 @@ def config3(overhead):
 
 def config4(overhead):
     g = Geometry(nz=512, n=512, nscan=16384, ndet=64, nprb=64, nmodes=4)
-    dt, minf, res = _timed_cg(g, 48, overhead, nchunks=8)
-    emit({"config": 4, "name": "multimode4_minibatched_16k",
+    # memory='auto' resolves to the frameless kernels (farplane would be
+    # 8.6 GB); no host-visible chunking needed
+    dt, minf, res = _timed_cg(g, 48, overhead)
+    emit({"config": 4, "name": "multimode4_16k_frameless",
           "iters_per_sec": round(48 / dt, 2),
           "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
           "residual_last": float(res[-1]),

@@ -564,3 +564,218 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
         interpret=_interpret(),
     )(sy, sx, fr, fi, dre, dim_, bre, bim, fre, fim)
     return oa[:, :s], ob[:, :s], oc[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# Gradient mega-kernel: fwd + residual + objective + adjoint in ONE pass.
+# The farplane never exists in HBM -- each position's frames are produced
+# by the MXU DFT in VMEM, turned into the likelihood residual against the
+# measured frame, IDFT'd and scattered, all in-kernel. HBM traffic of a
+# full gradient evaluation: read data once, write the object gradient.
+# ---------------------------------------------------------------------------
+
+
+def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
+                 pre, pim, dat, bre, bim, ore, oim, fsum):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ore[...] = jnp.zeros_like(ore)
+        oim[...] = jnp.zeros_like(oim)
+        fsum[0, 0] = jnp.float32(0.0)
+
+    minf_acc = jnp.zeros((), jnp.float32)
+    for p in range(P):
+        idx = j * P + p
+        y = sy[i, idx]
+        x = sx[i, idx]
+        # Padded tail positions gather REAL object data against zero data
+        # frames; mask their objective and residual to exactly zero.
+        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
+                          jnp.float32(0.0))
+        ar = _load_patch(pre, y, x, nprb)
+        ai = _load_patch(pim, y, x, nprb)
+        frames = []
+        intensity = jnp.zeros_like(dat[0, p])
+        for m in range(nmodes):
+            br = bre[0, m]
+            bi = bim[0, m]
+            nr = ar * br - ai * bi
+            ni = ar * bi + ai * br
+            gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
+            frames.append((gr_, gi_))
+            intensity = intensity + gr_ * gr_ + gi_ * gi_
+        d = jnp.maximum(dat[0, p], 0.0)
+        if model == "gaussian":
+            amp = jnp.sqrt(intensity + 1e-12)
+            sq = jnp.sqrt(d)
+            factor = (1.0 - sq / amp) * valid
+            minf_acc = minf_acc + valid * jnp.sum((amp - sq) ** 2)
+        else:  # poisson
+            factor = (1.0 - d / (intensity + 1e-8)) * valid
+            minf_acc = minf_acc + valid * jnp.sum(
+                intensity - d * jnp.log(intensity + 1e-8))
+        acc_re = jnp.zeros((nprb, nprb), jnp.float32)
+        acc_im = jnp.zeros((nprb, nprb), jnp.float32)
+        for m in range(nmodes):
+            gr_, gi_ = frames[m]
+            nr, ni = _idft2(gr_ * factor, gi_ * factor, fr[...], fi[...],
+                            prec)
+            br = bre[0, m]
+            bi = bim[0, m]
+            acc_re = acc_re + (br * nr + bi * ni)
+            acc_im = acc_im + (br * ni - bi * nr)
+        _accum_patch(ore, acc_re, y, x, nprb)
+        _accum_patch(oim, acc_im, y, x, nprb)
+    fsum[0, 0] += minf_acc
+
+
+def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
+               prb: jax.Array, ndet: int, model: str, precision=None):
+    """Full likelihood gradient w.r.t. the object plus the objective in a
+    single kernel pass (no farplane in HBM).
+
+    Returns:
+      (grad_psi ``(ntheta, nz, n)`` complex64, minf ``()`` float32).
+    """
+    t, nz, n = psi.shape
+    _, nmodes, nprb, _ = prb.shape
+    s = scan_int.shape[1]
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    dat = _pad_axis1(data.astype(jnp.float32), s_pad)
+    bre, bim = _split_c64(prb)
+    fr, fi = _dft_factors(ndet, nprb)
+    wh, ww = _window_hw(nprb)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, P, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
+        jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
+        jax.ShapeDtypeStruct((t, 1), jnp.float32),
+    ]
+    ore, oim, fsum = pl.pallas_call(
+        functools.partial(_grad_kernel, P, nmodes, nprb, model,
+                          precision or PRECISION, s),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, fr, fi, pre, pim, dat, bre, bim)
+    return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)
+
+
+# ---------------------------------------------------------------------------
+# Quadratic line-search statistics with BOTH farplanes computed in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _quad2_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, o1re, o1im, o2re,
+                  o2im, b1re, b1im, b2re, b2im, oa, ob, oc):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
+        a1r = _load_patch(o1re, y, x, nprb)
+        a1i = _load_patch(o1im, y, x, nprb)
+        a2r = _load_patch(o2re, y, x, nprb)
+        a2i = _load_patch(o2im, y, x, nprb)
+        a = jnp.zeros((oa.shape[-2], oa.shape[-1]), jnp.float32)
+        b = jnp.zeros_like(a)
+        c = jnp.zeros_like(a)
+        for m in range(nmodes):
+            n1r = a1r * b1re[0, m] - a1i * b1im[0, m]
+            n1i = a1r * b1im[0, m] + a1i * b1re[0, m]
+            f1r, f1i = _dft2(n1r, n1i, fr[...], fi[...], prec)
+            n2r = a2r * b2re[0, m] - a2i * b2im[0, m]
+            n2i = a2r * b2im[0, m] + a2i * b2re[0, m]
+            f2r, f2i = _dft2(n2r, n2i, fr[...], fi[...], prec)
+            a = a + f1r * f1r + f1i * f1i
+            b = b + f1r * f2r + f1i * f2i
+            c = c + f2r * f2r + f2i * f2i
+        oa[0, p] = a
+        ob[0, p] = b
+        oc[0, p] = c
+
+
+def quad2_stats(obj1: jax.Array, prb1: jax.Array, obj2: jax.Array,
+                prb2: jax.Array, scan_int: jax.Array, ndet: int,
+                precision=None):
+    """Line-search statistics for two forward fields computed entirely
+    in-kernel: f1 = G(obj1; prb1), f2 = G(obj2; prb2), returning
+
+        a = sum_m |f1|^2, b = sum_m Re(conj(f1) f2), c = sum_m |f2|^2.
+
+    Object step: (psi, prb, d_psi, prb). Probe step: (psi, prb, psi,
+    d_prb). Neither farplane touches HBM.
+    """
+    t, nz, n = obj1.shape
+    _, nmodes, nprb, _ = prb1.shape
+    s = scan_int.shape[1]
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    o1re, o1im = (_pad_object(x, nprb) for x in _split_c64(obj1))
+    o2re, o2im = (_pad_object(x, nprb) for x in _split_c64(obj2))
+    b1re, b1im = _split_c64(prb1)
+    b2re, b2im = _split_c64(prb2)
+    fr, fi = _dft_factors(ndet, nprb)
+    wh, ww = _window_hw(nprb)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+
+    obj_spec = pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0))
+    prb_spec = pl.BlockSpec((1, nmodes, nprb, nprb),
+                            lambda i, j, *_: (i, 0, 0, 0))
+    stat_spec = pl.BlockSpec((1, P, ndet, ndet),
+                             lambda i, j, *_: (i, j, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            obj_spec, obj_spec, obj_spec, obj_spec,
+            prb_spec, prb_spec, prb_spec, prb_spec,
+        ],
+        out_specs=[stat_spec, stat_spec, stat_spec],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, s_pad, ndet, ndet), jnp.float32)
+        for _ in range(3)
+    ]
+    oa, ob, oc = pl.pallas_call(
+        functools.partial(_quad2_kernel, P, nmodes, nprb,
+                          precision or PRECISION),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, fr, fi, o1re, o1im, o2re, o2im, b1re, b1im, b2re, b2im)
+    return oa[:, :s], ob[:, :s], oc[:, :s]

@@ -97,6 +97,12 @@ class CGOptions:
     # iters/s on the headline config) and VMEM-heavier for many modes;
     # kept as an option for bandwidth-starved regimes.
     fused_linesearch: bool = False
+    # Farplane policy on the fused kernel paths: 'materialized' keeps
+    # G(psi) in HBM between the forward and the gradient tail (fastest
+    # when it fits); 'frameless' computes every farplane frame in VMEM
+    # inside the kernels and NEVER materializes it (mandatory for large
+    # nscan x nmodes; ~12% slower when both fit); 'auto' picks by size.
+    memory: str = "auto"
 
 
 def _rdot(a, b):
@@ -158,9 +164,16 @@ class _Engine:
         if o.precondition not in ("illum", "max", "none"):
             raise ValueError(f"unknown precondition {o.precondition!r}; "
                              "expected 'illum', 'max', or 'none'")
+        if o.memory not in ("auto", "materialized", "frameless"):
+            raise ValueError(f"unknown memory policy {o.memory!r}")
         self.g = g
         self.o = o
         self.minf_fn, self.resid_fn = likelihoods.get_model(o.model)
+        farplane_bytes = (g.ntheta * g.nscan * g.nmodes * g.ndet * g.ndet
+                          * 8)
+        self.frameless = (o.memory == "frameless" or
+                          (o.memory == "auto" and
+                           farplane_bytes > 4 * 1024**3))
 
     # -- operator shorthands ------------------------------------------------
 
@@ -201,18 +214,29 @@ class _Engine:
         fpsi = None
         gpsi = gprb = None
         if o.nchunks == 1:
-            fpsi = self._fwd(psi, scan, prb)
             resolved = diffraction.resolve_kernel(o.kernel)
             if want_psi and not want_prb and resolved.startswith("fused"):
-                from tikejax.ops import diffraction as _diffr
                 from tikejax.ops import pallas_fused
                 from tikejax.ops import patches as _patches
 
                 scan_i = _patches.scan_to_int(scan)
-                gpsi, f0 = pallas_fused.adj_residual(
-                    fpsi, data, scan_i, prb, self.g.nz, self.g.n, o.model,
-                    precision=_diffr._fused_precision(resolved))
+                prec = diffraction._fused_precision(resolved)
+                if self.frameless:
+                    # Gradient mega-kernel: fwd + residual + objective +
+                    # adjoint in one pass; the farplane never exists in
+                    # HBM (large nscan x nmodes regime).
+                    gpsi, f0 = pallas_fused.grad_fused(
+                        psi, data, scan_i, prb, self.g.ndet, o.model,
+                        precision=prec)
+                else:
+                    # Materialize G(psi) once (reused by the line-search
+                    # statistics pass), then the fused gradient tail.
+                    fpsi = self._fwd(psi, scan, prb)
+                    gpsi, f0 = pallas_fused.adj_residual(
+                        fpsi, data, scan_i, prb, self.g.nz, self.g.n,
+                        o.model, precision=prec)
             else:
+                fpsi = self._fwd(psi, scan, prb)
                 f0 = self.minf_fn(fpsi, data)
                 resid = self.resid_fn(fpsi, data)
                 if want_psi:
@@ -273,24 +297,32 @@ class _Engine:
             return fp, fd
 
         if o.nchunks == 1:
-            fp = fpsi if fpsi is not None else self._fwd(psi, scan, prb)
             resolved = diffraction.resolve_kernel(o.kernel)
             if resolved.startswith("fused"):
-                # One-pass statistics: the direction farplane is computed
-                # frame-by-frame in VMEM and reduced in place.
-                from tikejax.ops import diffraction as _diffr
+                # Both farplanes are produced frame-by-frame in VMEM and
+                # reduced in place -- neither touches HBM.
                 from tikejax.ops import pallas_fused
                 from tikejax.ops import patches as _patches
 
                 scan_i = _patches.scan_to_int(scan)
-                prec = _diffr._fused_precision(resolved)
-                if dpsi is not None:
+                prec = diffraction._fused_precision(resolved)
+                if self.frameless or fpsi is None:
+                    if dpsi is not None:
+                        a, b, c = pallas_fused.quad2_stats(
+                            psi, prb, dpsi, prb, scan_i, self.g.ndet,
+                            precision=prec)
+                    else:
+                        a, b, c = pallas_fused.quad2_stats(
+                            psi, prb, psi, dprb, scan_i, self.g.ndet,
+                            precision=prec)
+                elif dpsi is not None:
                     a, b, c = pallas_fused.fwd_quad_stats(
-                        dpsi, scan_i, prb, fp, precision=prec)
+                        dpsi, scan_i, prb, fpsi, precision=prec)
                 else:
                     a, b, c = pallas_fused.fwd_quad_stats(
-                        psi, scan_i, dprb, fp, precision=prec)
+                        psi, scan_i, dprb, fpsi, precision=prec)
             else:
+                fp = fpsi if fpsi is not None else self._fwd(psi, scan, prb)
                 fd = (self._fwd(dpsi, scan, prb)
                       if dpsi is not None else self._fwd(psi, scan, dprb))
                 a, b, c = _quad_stats(fp, fd)
@@ -483,8 +515,9 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
         gpsi = precond_psi(gpsi, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
         if eng.use_fused_linesearch():
+            fp = fpsi if fpsi is not None else eng._fwd(psi, scan, prb)
             fd = eng._fwd(d_psi, scan, prb)
-            gamma = eng.line_search_all(fpsi, fd, data, f0, real_dtype,
+            gamma = eng.line_search_all(fp, fd, data, f0, real_dtype,
                                         gam_prev)
         else:
             f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi,
@@ -504,8 +537,10 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
             gprb = precond_prb(gprb, psi)
             d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb)
             if eng.use_fused_linesearch():
+                fp2 = (fpsi2 if fpsi2 is not None
+                       else eng._fwd(psi, scan, prb))
                 fdp = eng._fwd_probe_dir(psi, scan, d_prb)
-                gamma_p = eng.line_search_all(fpsi2, fdp, data, f0p,
+                gamma_p = eng.line_search_all(fp2, fdp, data, f0p,
                                               real_dtype, gam_p_prev)
             else:
                 f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
