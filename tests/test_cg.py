@@ -146,6 +146,21 @@ def test_fused_linesearch_option(rng):
                                rtol=1e-3)
 
 
+def test_memory_policies_match(rng):
+    """materialized and frameless fused paths produce the same trajectory
+    (both in interpret mode on CPU)."""
+    g = Geometry(nz=64, n=64, nscan=16, ndet=32, nprb=24, nmodes=2)
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
+    psi_a, _, ma = run(data, psi0, scan, prb, g, piter=6, kernel="fused",
+                       memory="materialized")
+    psi_b, _, mb = run(data, psi0, scan, prb, g, piter=6, kernel="fused",
+                       memory="frameless")
+    np.testing.assert_allclose(np.asarray(ma["minf"]), np.asarray(mb["minf"]),
+                               rtol=1e-3)
+    with pytest.raises(ValueError, match="memory"):
+        run(data, psi0, scan, prb, g, piter=2, memory="bogus")
+
+
 def test_precondition_options(rng):
     psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
     for pre in ["illum", "max", "none"]:
