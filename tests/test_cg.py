@@ -148,7 +148,7 @@ def test_fused_linesearch_option(rng):
 
 def test_memory_policies_match(rng):
     """materialized and frameless fused paths produce the same trajectory
-    (both in interpret mode on CPU)."""
+    (both in interpret mode on CPU), including joint probe recovery."""
     g = Geometry(nz=64, n=64, nscan=16, ndet=32, nprb=24, nmodes=2)
     psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
     psi_a, _, ma = run(data, psi0, scan, prb, g, piter=6, kernel="fused",
@@ -156,6 +156,12 @@ def test_memory_policies_match(rng):
     psi_b, _, mb = run(data, psi0, scan, prb, g, piter=6, kernel="fused",
                        memory="frameless")
     np.testing.assert_allclose(np.asarray(ma["minf"]), np.asarray(mb["minf"]),
+                               rtol=1e-3)
+    pa, _, ja = run(data, psi0, scan, prb * 0.9, g, piter=5, kernel="fused",
+                    memory="materialized", recover_prb=True)
+    pb, _, jb = run(data, psi0, scan, prb * 0.9, g, piter=5, kernel="fused",
+                    memory="frameless", recover_prb=True)
+    np.testing.assert_allclose(np.asarray(ja["minf"]), np.asarray(jb["minf"]),
                                rtol=1e-3)
     with pytest.raises(ValueError, match="memory"):
         run(data, psi0, scan, prb, g, piter=2, memory="bogus")

@@ -779,3 +779,121 @@ def quad2_stats(obj1: jax.Array, prb1: jax.Array, obj2: jax.Array,
         interpret=_interpret(),
     )(sy, sx, fr, fi, o1re, o1im, o2re, o2im, b1re, b1im, b2re, b2im)
     return oa[:, :s], ob[:, :s], oc[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# Probe-gradient mega-kernel: fwd + residual + objective + probe adjoint
+# in one pass (the joint-recovery analogue of grad_fused).
+# ---------------------------------------------------------------------------
+
+
+def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr,
+                     fi, pre, pim, dat, bre, bim, ore, oim, fsum):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ore[...] = jnp.zeros_like(ore)
+        oim[...] = jnp.zeros_like(oim)
+        fsum[0, 0] = jnp.float32(0.0)
+
+    minf_acc = jnp.zeros((), jnp.float32)
+    for p in range(P):
+        idx = j * P + p
+        y = sy[i, idx]
+        x = sx[i, idx]
+        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
+                          jnp.float32(0.0))
+        ar = _load_patch(pre, y, x, nprb)
+        ai = _load_patch(pim, y, x, nprb)
+        frames = []
+        intensity = jnp.zeros_like(dat[0, p])
+        for m in range(nmodes):
+            br = bre[0, m]
+            bi = bim[0, m]
+            nr = ar * br - ai * bi
+            ni = ar * bi + ai * br
+            gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
+            frames.append((gr_, gi_))
+            intensity = intensity + gr_ * gr_ + gi_ * gi_
+        d = jnp.maximum(dat[0, p], 0.0)
+        if model == "gaussian":
+            amp = jnp.sqrt(intensity + 1e-12)
+            sq = jnp.sqrt(d)
+            factor = (1.0 - sq / amp) * valid
+            minf_acc = minf_acc + valid * jnp.sum((amp - sq) ** 2)
+        else:  # poisson
+            factor = (1.0 - d / (intensity + 1e-8)) * valid
+            minf_acc = minf_acc + valid * jnp.sum(
+                intensity - d * jnp.log(intensity + 1e-8))
+        for m in range(nmodes):
+            gr_, gi_ = frames[m]
+            nr, ni = _idft2(gr_ * factor, gi_ * factor, fr[...], fi[...],
+                            prec)
+            # conj(psi_patch) * near accumulated into the probe mode
+            ore[0, m] += ar * nr + ai * ni
+            oim[0, m] += ar * ni - ai * nr
+    fsum[0, 0] += minf_acc
+
+
+def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
+                   prb: jax.Array, ndet: int, model: str, precision=None):
+    """Full likelihood gradient w.r.t. the probe plus the objective in a
+    single kernel pass (no farplane in HBM).
+
+    Returns:
+      (grad_prb ``(ntheta, nmodes, nprb, nprb)`` complex64,
+       minf ``()`` float32).
+    """
+    t, nz, n = psi.shape
+    _, nmodes, nprb, _ = prb.shape
+    s = scan_int.shape[1]
+    P = _positions_per_step(nmodes)
+    s_pad = -(-s // P) * P
+    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    dat = _pad_axis1(data.astype(jnp.float32), s_pad)
+    bre, bim = _split_c64(prb)
+    fr, fi = _dft_factors(ndet, nprb)
+    wh, ww = _window_hw(nprb)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, s_pad // P),
+        in_specs=[
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, P, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
+        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
+        jax.ShapeDtypeStruct((t, 1), jnp.float32),
+    ]
+    ore, oim, fsum = pl.pallas_call(
+        functools.partial(_grad_prb_kernel, P, nmodes, nprb, model,
+                          precision or PRECISION, s),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(sy, sx, fr, fi, pre, pim, dat, bre, bim)
+    return lax.complex(ore, oim), jnp.sum(fsum)

@@ -235,6 +235,18 @@ class _Engine:
                     gpsi, f0 = pallas_fused.adj_residual(
                         fpsi, data, scan_i, prb, self.g.nz, self.g.n,
                         o.model, precision=prec)
+            elif (want_prb and not want_psi and self.frameless and
+                  diffraction.resolve_kernel(o.kernel).startswith("fused")):
+                # Probe-gradient mega-kernel (joint recovery in the
+                # frameless regime).
+                from tikejax.ops import pallas_fused
+                from tikejax.ops import patches as _patches
+
+                scan_i = _patches.scan_to_int(scan)
+                gprb, f0 = pallas_fused.grad_prb_fused(
+                    psi, data, scan_i, prb, self.g.ndet, o.model,
+                    precision=diffraction._fused_precision(
+                        diffraction.resolve_kernel(o.kernel)))
             else:
                 fpsi = self._fwd(psi, scan, prb)
                 f0 = self.minf_fn(fpsi, data)
