@@ -106,10 +106,30 @@ def simulate_intensities(psi: jax.Array, scan: jax.Array, prb: jax.Array,
                          ndet: int) -> jax.Array:
     """Noise-free measured intensities: sum over modes of |fwd|^2.
 
+    Chunked over scan positions so the mode-resolved farplane transient
+    stays bounded (~1 GiB) even for many-mode / many-position problems.
+
     Returns ``(ntheta, nscan, ndet, ndet)`` real photon counts.
     """
-    farplane = fwd_raw(psi, scan, prb, ndet)
-    return jnp.sum(jnp.abs(farplane)**2, axis=2)
+    t, s = scan.shape[:2]
+    nmodes = prb.shape[1]
+    farplane_bytes = t * s * nmodes * ndet * ndet * 8
+    budget = 1024**3
+    nch = 1
+    if farplane_bytes > budget:
+        want = -(-farplane_bytes // budget)
+        # smallest divisor of s that is >= want (falls back to s)
+        nch = next((c for c in range(want, s + 1) if s % c == 0), s)
+
+    def intensity(scan_c):
+        far = fwd_raw(psi, scan_c, prb, ndet, kernel="auto")
+        return jnp.sum(jnp.abs(far)**2, axis=2)
+
+    if nch == 1:
+        return intensity(scan)
+    scan_c = scan.reshape(t, nch, s // nch, 2).swapaxes(0, 1)
+    out = jax.lax.map(intensity, scan_c)  # (nch, t, s/nch, nd, nd)
+    return out.swapaxes(0, 1).reshape(t, s, ndet, ndet)
 
 
 def make_problem(key: jax.Array, geometry: Geometry, dtype=jnp.complex64,
