@@ -60,6 +60,19 @@ def test_sharded_joint_multimode_chunked(problem):
     assert not np.isnan(minf).any()
 
 
+def test_sharded_fused_kernels(problem):
+    """shard_map composes with the fused Pallas kernels (interpret mode):
+    each shard runs the kernels on its local scan slice."""
+    g, psi_true, scan, prb, data, psi0 = problem
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=6, kernel="fused")
+    mesh = make_mesh(4)
+    data_s, scan_s = shard_problem(mesh, data, scan)
+    psi_n, _, m_n = run_sharded(data_s, psi0, scan_s, prb, g, mesh, piter=6,
+                                kernel="fused")
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_n["minf"]), rtol=1e-3)
+
+
 def test_sharded_validation(problem):
     g, _, scan, prb, data, psi0 = problem
     mesh = make_mesh(3)  # 64 % 3 != 0

@@ -85,9 +85,14 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
     options = dataclasses.replace(options, axis_name=axis)
 
     body = functools.partial(_cg.run_impl, g_local, options)
+    # check_vma=False: the Pallas kernels' out_shapes carry no
+    # varying-mesh-axes annotation, which the vma type checker rejects;
+    # replication of the outputs is instead guaranteed by the psums in
+    # the solver and verified numerically in tests/test_sharding.py.
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis), P(), P(None, axis), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False,
     )
     return jax.jit(sharded)(data, psi0, scan, prb0)
