@@ -121,8 +121,13 @@ def simulate_intensities(psi: jax.Array, scan: jax.Array, prb: jax.Array,
         # smallest divisor of s that is >= want (falls back to s)
         nch = next((c for c in range(want, s + 1) if s % c == 0), s)
 
+    # Simulation runs once; use the most accurate operator available so
+    # the generated data does not inherit the fast path's f32 DFT noise
+    # (which would floor every reconstruction's residual at ~1e-3).
+    kern = "fused_hp" if jax.default_backend() == "tpu" else "xla"
+
     def intensity(scan_c):
-        far = fwd_raw(psi, scan_c, prb, ndet, kernel="auto")
+        far = fwd_raw(psi, scan_c, prb, ndet, kernel=kern)
         return jnp.sum(jnp.abs(far)**2, axis=2)
 
     if nch == 1:

@@ -45,11 +45,14 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 #   'fused'    -- single Pallas kernel per operator with the 2-D DFT done
 #                 as MXU matmuls inside (no intermediate nearplane;
 #                 fastest; ~1e-3 operator accuracy in f32).
+#   'fused_mp' -- same kernels, DFT matmuls via a manual bf16x3
+#                 decomposition (~6e-6 operator accuracy, between
+#                 'fused' and 'fused_hp' in speed).
 #   'fused_hp' -- same kernels with full-f32 MXU passes (~2e-7 operator
 #                 accuracy, roughly half the CG rate): use when chasing
 #                 deep residuals.
 #   'auto'     -- 'fused' on TPU, 'xla' elsewhere.
-_KERNELS = ("xla", "pallas", "fused", "fused_hp", "auto")
+_KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "auto")
 
 
 def resolve_kernel(kernel: str) -> str:
@@ -61,7 +64,11 @@ def resolve_kernel(kernel: str) -> str:
 def _fused_precision(kernel: str):
     import jax.lax as lax
 
-    return lax.Precision.HIGHEST if kernel == "fused_hp" else None
+    if kernel == "fused_hp":
+        return lax.Precision.HIGHEST
+    if kernel == "fused_mp":
+        return "bf16x3"
+    return None
 
 
 def _nearplane_fwd(psi, scan_int, prb, kernel):

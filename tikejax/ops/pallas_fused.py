@@ -68,18 +68,32 @@ def _dft_factors(ndet: int, nprb: int):
     return jnp.asarray(fr), jnp.asarray(fi)
 
 
-# MXU precision of the DFT factor matmuls. Measured on v5e (512^2/16k
-# headline config): DEFAULT = ~8.5e-4 relative operator error vs the FFT
-# path (residual floor ~2e-3) at full speed; HIGHEST (full-f32 passes) =
-# ~2e-7 error at roughly half the CG rate. Precision.HIGH is not
-# supported by Mosaic. Selected per call via kernel='fused' vs
-# 'fused_hp' (see ops.diffraction).
+# MXU precision of the DFT factor matmuls, selected per call via the
+# kernel name (see ops.diffraction). Measured on v5e (single 128x128x128
+# matmul relative error vs exact; CG rate on the 512^2/16k headline):
+#   DEFAULT  (1 bf16 pass)      ~2e-3 error, fastest (~57 iters/s)
+#   'bf16x3' (manual 3-pass)    ~6e-6 error, middle ('fused_mp')
+#   HIGHEST  (full f32 passes)  exact,      ~15 iters/s ('fused_hp')
+# Precision.HIGH is not supported by Mosaic; 'bf16x3' is the manual
+# equivalent: split each operand into bf16 hi + lo and take the three
+# dominant cross products.
 PRECISION = lax.Precision.DEFAULT
 
 
 def _dot(a, b, contract, prec):
-    return lax.dot_general(a, b, (contract, ((), ())),
-                           preferred_element_type=jnp.float32,
+    dims = (contract, ((), ()))
+    if prec == "bf16x3":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32)
+
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
                            precision=prec)
 
 
