@@ -15,22 +15,12 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from tikejax import Geometry
 from tikejax.models import make_problem
 from tikejax.solvers import run
-from tikejax.utils import cones, scalar
-
-
-def sync(x):
-    """Force completion via a dependent host readback. On some TPU
-    transports jax.block_until_ready returns before execution finishes;
-    a readback is the only reliable barrier."""
-    leaf = jax.tree.leaves(x)[0]
-    np.asarray(jax.jit(
-        lambda v: jnp.abs(v).ravel()[0:1].astype(jnp.float32))(leaf))
+from tikejax.utils import (cones, device_sync as sync, scalar,
+                           sync_overhead_seconds)
 
 # Estimated reference-on-V100 iteration rate for the headline config; see
 # BASELINE.md for the derivation (FFT FLOPs + atomicAdd scatter bandwidth).
@@ -63,13 +53,9 @@ def main():
         f"minf {scalar(metrics['minf'][0]):.4e} -> "
         f"{scalar(metrics['minf'][-1]):.4e}")
 
-    # Measure the readback-sync RPC overhead and subtract it from the
-    # steady-state timing (it is ~0.4s on tunneled transports, ~0 locally).
-    tiny = jnp.ones((8, 128))
-    sync(tiny)
-    t0 = time.time()
-    sync(tiny)
-    sync_overhead = time.time() - t0
+    # Subtract the readback-sync RPC overhead from the steady-state timing
+    # (~0.4s on tunneled transports, ~0 locally).
+    sync_overhead = sync_overhead_seconds()
     log(f"sync overhead: {sync_overhead * 1000:.0f} ms")
 
     # Steady state.

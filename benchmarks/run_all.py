@@ -26,13 +26,8 @@ from tikejax import Geometry
 from tikejax.models import make_problem
 from tikejax.ops import adj_probe_raw, adj_raw, fwd_raw
 from tikejax.solvers import run
-from tikejax.utils import cones, scalar, to_host
-
-
-def sync(x):
-    leaf = jax.tree.leaves(x)[0]
-    np.asarray(jax.jit(
-        lambda v: jnp.abs(v).ravel()[0:1].astype(jnp.float32))(leaf))
+from tikejax.utils import (cones, device_sync as sync, scalar,
+                           sync_overhead_seconds as sync_overhead, to_host)
 
 
 def log(m):
@@ -41,14 +36,6 @@ def log(m):
 
 def emit(obj):
     print(json.dumps(obj), flush=True)
-
-
-def sync_overhead():
-    tiny = jnp.ones((8, 128))
-    sync(tiny)
-    t0 = time.time()
-    sync(tiny)
-    return time.time() - t0
 
 
 def config1():

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from tikejax import Geometry
 from tikejax.models import make_problem
 from tikejax.solvers import run
-from tikejax.utils import checkpoint, cones, scalar, to_host
+from tikejax.utils import (checkpoint, cones, device_sync, scalar,
+                           to_host)
 
 
 def main():
@@ -44,13 +45,13 @@ def main():
 
     psi_true, scan, prb, data = make_problem(
         jax.random.PRNGKey(0), g, poisson_photons=args.photons)
-    jax.block_until_ready(data)
+    device_sync(data)
 
     t0 = time.time()
     psi, prb_out, metrics = run(
         data, cones(g.psi_shape), scan, prb, g, piter=args.piter,
         model=args.model, recover_prb=args.recover_prb, nchunks=args.nchunks)
-    jax.block_until_ready(psi)
+    device_sync(psi)  # block_until_ready is not a barrier on all transports
     dt = time.time() - t0
 
     minf = to_host(metrics["minf"])

@@ -87,9 +87,10 @@ def raster_scan(key: jax.Array, geometry: Geometry, jitter: float = 1.0,
     """
     g = geometry
     side = math.ceil(math.sqrt(g.nscan))
+    rows = math.ceil(g.nscan / side)  # every row survives the truncation
     max_y = g.nz - g.nprb
     max_x = g.n - g.nprb
-    ys = jnp.linspace(0, max_y, side)
+    ys = jnp.linspace(0, max_y, rows)
     xs = jnp.linspace(0, max_x, side)
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     grid = jnp.stack([yy.ravel(), xx.ravel()], -1)[:g.nscan]  # (nscan, 2)

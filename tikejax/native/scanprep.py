@@ -45,7 +45,13 @@ def _load():
                     os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
                 if not _build():
                     return None
-            lib = ctypes.CDLL(_LIB)
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                # Stale or foreign-platform binary: rebuild once and retry.
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB)
             lib.scanprep_validate.restype = ctypes.c_int64
             lib.scanprep_validate.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,

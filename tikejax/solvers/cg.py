@@ -388,8 +388,11 @@ class _Engine:
 
     def use_fused_linesearch(self) -> bool:
         """Fused one-pass candidate evaluation applies in materialised mode
-        on the Pallas kernel paths (kernel != 'xla' after resolution)."""
+        on the Pallas kernel paths (kernel != 'xla' after resolution).
+        Excluded in the frameless regime: it needs both farplanes in HBM,
+        which is exactly what frameless avoids."""
         return (self.o.fused_linesearch and self.o.nchunks == 1 and
+                not self.frameless and
                 diffraction.resolve_kernel(self.o.kernel) != "xla")
 
     def line_search_all(self, fpsi, fd, data, f0, dtype, gamma_prev=None):
@@ -401,8 +404,10 @@ class _Engine:
 
         o = self.o
         gamma0 = self._gamma0(dtype, gamma_prev)
+        # max_halvings + 1 candidates, matching the while_loop backtracking
+        # which evaluates gamma0 plus up to max_halvings halved steps.
         shrinks = jnp.asarray(o.step_shrink, jnp.float32) ** jnp.arange(
-            o.max_halvings, dtype=jnp.float32)
+            o.max_halvings + 1, dtype=jnp.float32)
         gammas = gamma0.astype(jnp.float32) * shrinks
         fvals = pallas_linesearch.ls_objectives(fpsi, fd, data, gammas,
                                                 o.model)

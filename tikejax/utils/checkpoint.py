@@ -26,9 +26,16 @@ def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            if _SEP in str(k):
+            k = str(k)
+            if _SEP in k:
                 raise ValueError(f"checkpoint key may not contain '{_SEP}': "
                                  f"{k!r}")
+            if k.endswith(_COMPLEX_SUFFIX_RE) or k.endswith(
+                    _COMPLEX_SUFFIX_IM):
+                raise ValueError(
+                    f"checkpoint key may not end with the reserved "
+                    f"complex-part suffixes '{_COMPLEX_SUFFIX_RE}'/"
+                    f"'{_COMPLEX_SUFFIX_IM}': {k!r}")
             out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
         return out
     key = prefix[:-1] if prefix.endswith(_SEP) else prefix

@@ -12,6 +12,29 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_sync(x) -> None:
+    """Force completion of everything leading to ``x`` via a dependent
+    host readback. On some TPU transports ``jax.block_until_ready``
+    returns before execution finishes; a readback is the only reliable
+    barrier. (Costs one RPC round-trip, ~0.4 s on tunneled transports.)
+    """
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.jit(
+        lambda v: jnp.abs(v).ravel()[0:1].astype(jnp.float32))(leaf))
+
+
+def sync_overhead_seconds() -> float:
+    """Measure the fixed cost of one :func:`device_sync` readback so
+    benchmarks can subtract it."""
+    tiny = jnp.ones((8, 128))
+    device_sync(tiny)
+    t0 = time.time()
+    device_sync(tiny)
+    return time.time() - t0
 
 
 @contextlib.contextmanager
