@@ -23,9 +23,9 @@ built on it uses these hand-written adjoints (single fused scatter) rather
 than XLA's generic transpose -- and so the Pallas fast path (which has no
 AD rule of its own) is differentiable.
 
-The ``kernel`` argument selects the implementation of the gather/scatter
-hot ops: ``'xla'`` (reference oracle, works on CPU/fp64) or ``'pallas'``
-(TPU fast path, :mod:`tikejax.ops.pallas_kernels`). The FFT is always XLA.
+The ``kernel`` argument selects the implementation (see the _KERNELS
+table below): the XLA oracle, the hybrid Pallas+XLA-FFT path, or the
+fused MXU-DFT kernels at three accuracy tiers.
 """
 
 from __future__ import annotations
