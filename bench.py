@@ -11,20 +11,67 @@ fields ride along in the same JSON object.
 """
 
 import json
+import math
 import sys
 import time
 
 import jax
+import numpy as np
 
 from tikejax import Geometry
 from tikejax.models import make_problem
 from tikejax.solvers import run
 from tikejax.utils import (cones, device_sync as sync, scalar,
-                           sync_overhead_seconds)
+                           sync_overhead_seconds, to_host)
 
 # Estimated reference-on-V100 iteration rate for the headline config; see
 # BASELINE.md for the derivation (FFT FLOPs + atomicAdd scatter bandwidth).
+# Quoted as "vs estimate" -- the upstream publishes no numbers. The
+# self-contained hardness figure is hbm_utilization below.
 BASELINE_ITERS_PER_SEC_V100_EST = 40.0
+
+# v5e peak HBM bandwidth (819 GB/s per chip).
+V5E_HBM_GBPS = 819.0
+
+
+def _hbm_roofline(g: Geometry, metrics, opts, dt, piter):
+    """Achieved HBM bandwidth from a LOWER-BOUND traffic model.
+
+    Guaranteed HBM passes per CG iteration on the materialized fused path
+    (nchunks=1, object/probe/scan traffic is negligible at these shapes):
+      fwd:             write farplane            (8B/px complex64)
+      adj_residual:    read farplane + data      (8B + 4B)
+      fwd_quad_stats:  read farplane, write a,b,c (8B + 3x4B)
+      backtracking:    per objective evaluation read a,b,c,data (4x4B)
+    The per-iteration evaluation count is recovered from the recorded
+    gamma trace (gamma_i = gamma0_i * shrink^k => k+1 evaluations), so
+    the model is measurement-grounded, not assumed. Omitted: compiler
+    fusion could only LOWER true traffic, so achieved/peak is a floor on
+    how close the run is to the bandwidth roofline.
+    """
+    frame_px = g.ntheta * g.nscan * g.nmodes * g.ndet * g.ndet
+    data_px = g.ntheta * g.nscan * g.ndet * g.ndet
+    fixed = (8 * frame_px            # fwd write
+             + 8 * frame_px + 4 * data_px   # adj_residual read
+             + 8 * frame_px + 12 * data_px)  # quad stats read+write
+    eval_bytes = 16 * data_px        # a,b,c,data per f(gamma)
+
+    gammas = to_host(metrics["gamma"])
+    shrink = opts.get("step_shrink", 0.5)
+    step0 = opts.get("step0", 1.0)
+    evals = 0
+    gamma_prev = 0.0
+    for gam in gammas:
+        gamma0 = step0 if gamma_prev <= 0 else min(step0, 4.0 * gamma_prev)
+        if gam <= 0:  # all halvings failed
+            halvings = 16
+        else:
+            halvings = max(0, round(math.log(gam / gamma0, shrink)))
+        evals += halvings + 1
+        gamma_prev = float(gam)
+    total_bytes = piter * fixed + evals * eval_bytes
+    gbps = total_bytes / dt / 1e9
+    return gbps, gbps / V5E_HBM_GBPS, evals / piter
 
 
 def log(msg):
@@ -68,6 +115,27 @@ def main():
     minf0 = scalar(metrics["minf"][0])
     minf_last = scalar(metrics["minf"][-1])
     res_last = scalar(metrics["residual"][-1])
+    hbm_gbps, hbm_util, ls_evals = _hbm_roofline(g, metrics, opts, dt,
+                                                 piter)
+
+    # Secondary tier (VERDICT r1 #8): the deep-residual kernel. Measure
+    # time-to-1e-4 relative residual with the bf16x3 middle-precision DFT
+    # (compile excluded by a warm-up run).
+    mp_iters = 240
+    mp_opts = dict(piter=mp_iters, model="gaussian", kernel="fused_mp")
+    _, _, m_mp = run(data, psi0, scan, prb, g, **mp_opts)
+    sync(m_mp["residual"])
+    t0 = time.time()
+    _, _, m_mp = run(data, psi0, scan, prb, g, **mp_opts)
+    sync(m_mp["residual"])
+    dt_mp = max(time.time() - t0 - sync_overhead, 1e-9)
+    res_mp = np.asarray(to_host(m_mp["residual"]))
+    hit = np.nonzero(res_mp < 1e-4)[0]
+    t_to_1e4 = round(dt_mp * (int(hit[0]) + 1) / mp_iters, 2) if len(
+        hit) else None
+    log(f"fused_mp: {mp_iters} iters in {dt_mp:.1f}s, "
+        f"res_last {res_mp[-1]:.2e}, time-to-1e-4 {t_to_1e4}s")
+
     result = {
         "metric": "cg_iters_per_sec_512obj_16kpos",
         "value": round(iters_per_sec, 3),
@@ -81,6 +149,13 @@ def main():
         "minf_first_iter": minf0,
         "minf_last_iter": minf_last,
         "rel_residual_last_iter": res_last,
+        "achieved_hbm_gbps": round(hbm_gbps, 1),
+        "hbm_utilization": round(hbm_util, 3),
+        "hbm_note": "lower-bound traffic model vs 819 GB/s v5e peak; "
+                    f"{ls_evals:.2f} line-search evals/iter from gamma "
+                    "trace",
+        "fused_mp_time_to_1e-4_residual_s": t_to_1e4,
+        "fused_mp_iters_per_sec": round(mp_iters / dt_mp, 2),
         "baseline_note": "V100 estimate, no published numbers "
                          "(BASELINE.md)",
     }

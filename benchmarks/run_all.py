@@ -117,9 +117,20 @@ def config4(overhead):
 def config5(overhead):
     ndev = len(jax.devices())
     if ndev < 2:
+        # Single chip attached: pin the per-chip half of the config with
+        # a real 64k-position run (frameless kernels -- the farplane
+        # would be 8.6 GB). Sharded equivalence is covered on the CPU
+        # mesh in tests/test_sharding.py.
+        g = Geometry(nz=512, n=512, nscan=65536, ndet=128, nprb=128)
+        piter = 16
+        dt, minf, res = _timed_cg(g, piter, overhead)
         emit({"config": 5, "name": "position_sharded_64k",
-              "skipped": f"single device attached ({ndev}); CPU-mesh "
-                         "equivalence covered in tests/test_sharding.py"})
+              "devices": 1, "iters_per_sec": round(piter / dt, 2),
+              "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
+              "residual_last": float(res[-1]),
+              "pass": bool(minf[-1] < minf[0]),
+              "note": "single chip attached: per-chip 64k frameless run; "
+                      "multi-chip equivalence in tests/test_sharding.py"})
         return
     from tikejax.parallel import make_mesh, run_sharded, shard_problem
 
@@ -141,6 +152,32 @@ def config5(overhead):
           "pass": bool(minf[-1] < minf[0])})
 
 
+def config6(overhead):
+    """Noisy-data acceptance (SURVEY.md SS4 item 2; VERDICT r1 #6):
+    reconstruct Poisson-noised counts with the Poisson model, and with
+    the Gaussian model as control; report aligned object error."""
+    from tikejax.models import relative_object_error
+
+    g = Geometry(nz=256, n=256, nscan=1024, ndet=64, nprb=64)
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(0), g,
+                                             poisson_photons=1e6)
+    sync(data)
+    psi0 = cones(g.psi_shape)
+    out = {"config": 6, "name": "poisson_noisy_1e6photons_256_64_1k"}
+    for model in ("poisson", "gaussian"):
+        r, _, m = run(data, psi0, scan, prb, g, piter=256, model=model)
+        sync(r)
+        minf = to_host(m["minf"])
+        out[f"{model}_minf_last"] = float(minf[-1])
+        out[f"{model}_object_err"] = round(
+            relative_object_error(to_host(r), to_host(psi_true)), 5)
+        out[f"{model}_converged"] = bool(minf[-1] < minf[0])
+    out["pass"] = bool(out["poisson_object_err"] < 0.1 and
+                       out["poisson_converged"] and
+                       out["gaussian_converged"])
+    emit(out)
+
+
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind} x{len(jax.devices())}")
@@ -151,6 +188,7 @@ def main():
     config3(overhead)
     config4(overhead)
     config5(overhead)
+    config6(overhead)
 
 
 if __name__ == "__main__":

@@ -13,19 +13,9 @@ import numpy as np
 import pytest
 
 from tikejax import Geometry
-from tikejax.models import make_probe, make_problem
+from tikejax.models import (make_probe, make_problem, relative_object_error,
+                            relative_probe_error)
 from tikejax.solvers import CGOptions, run
-
-
-def relative_object_error(psi, psi_true):
-    """Global-phase-invariant relative error restricted to the illuminated
-    interior (the border of the object is never touched by the probe)."""
-    m = psi.shape[-1] // 8
-    a = psi[..., m:-m, m:-m].ravel()
-    b = psi_true[..., m:-m, m:-m].ravel()
-    phase = jnp.vdot(a, b)
-    phase = phase / jnp.abs(phase)
-    return float(jnp.linalg.norm(a * phase - b) / jnp.linalg.norm(b))
 
 
 def setup_problem(rng, g, **kw):
@@ -79,6 +69,13 @@ def test_joint_probe_recovery(rng):
     psi_frozen, _, m_frozen = run(data, psi0, scan, prb0, GEOM_SMALL,
                                   piter=64, model="gaussian")
     assert metrics["minf"][-1] < m_frozen["minf"][-1]
+    # ... and the recovered probe must actually approach the true probe
+    # (scale/phase-aligned), improving substantially on the start.
+    err0 = relative_probe_error(prb0, prb_true)
+    err = relative_probe_error(prb, prb_true)
+    assert err < 0.5 * err0, (
+        f"probe error did not improve enough: {err0:.3f} -> {err:.3f}")
+    assert err < 0.05, f"recovered probe too far from truth: {err:.3f}"
 
 
 def test_multimode_probe(rng):
@@ -89,6 +86,33 @@ def test_multimode_probe(rng):
     assert_decreasing(metrics["minf"])
     err = relative_object_error(psi, psi_true)
     assert err < 0.2, f"multimode reconstruction error too high: {err}"
+
+
+def test_poisson_noisy_data(rng):
+    """Reconstruction from actually Poisson-noised counts (SURVEY.md SS4
+    item 2; VERDICT r1 missing #5): the Poisson model must converge on
+    shot-noise-limited data, and beat the flat start by a wide margin."""
+    psi_true, scan, prb, data, psi0 = setup_problem(
+        rng, GEOM_SMALL, poisson_photons=1e6)
+    psi, _, metrics = run(data, psi0, scan, prb, GEOM_SMALL,
+                          piter=64, model="poisson")
+    assert_decreasing(metrics["minf"], frac=0.8)
+    err = relative_object_error(psi, psi_true)
+    err0 = relative_object_error(psi0, psi_true)
+    assert err < 0.15, f"noisy poisson reconstruction error: {err}"
+    assert err < 0.5 * err0
+
+
+def test_gaussian_on_noisy_data(rng):
+    """Control: the Gaussian (amplitude) model on the same noisy counts
+    still converges (it is the wrong noise model but a stable LSQ fit)."""
+    psi_true, scan, prb, data, psi0 = setup_problem(
+        rng, GEOM_SMALL, poisson_photons=1e6)
+    psi, _, metrics = run(data, psi0, scan, prb, GEOM_SMALL,
+                          piter=64, model="gaussian")
+    assert_decreasing(metrics["minf"], frac=0.8)
+    err = relative_object_error(psi, psi_true)
+    assert err < 0.15, f"noisy gaussian reconstruction error: {err}"
 
 
 def test_minibatched_matches_full(rng):

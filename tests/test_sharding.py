@@ -73,6 +73,56 @@ def test_sharded_fused_kernels(problem):
                                np.asarray(m_n["minf"]), rtol=1e-3)
 
 
+@pytest.mark.parametrize("tshards,sshards", [(2, 4), (4, 2), (2, 1)])
+def test_theta_sharded_matches_single(tshards, sshards):
+    """P2 angle-axis sharding (SURVEY.md SS5): a 2-D ('theta', 'scan')
+    mesh must reproduce the single-device multi-angle run -- psi/prb stay
+    per-angle-sharded, scalar statistics are globally psum-ed."""
+    g = Geometry(ntheta=4, nz=96, n=96, nscan=32, ndet=32, nprb=24)
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(5), g,
+                                             dtype=jnp.complex64)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=10)
+    mesh = make_mesh((tshards, sshards))
+    data_s, scan_s = shard_problem(mesh, data, scan)
+    psi_n, _, m_n = run_sharded(data_s, psi0, scan_s, prb, g, mesh,
+                                piter=10)
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_n["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_1 - psi_n))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_1)))
+
+
+def test_theta_sharded_joint_probe():
+    """Theta sharding composes with joint probe recovery (probe gradients
+    and their Dai-Yuan/line-search scalars stay consistent per angle)."""
+    g = Geometry(ntheta=2, nz=96, n=96, nscan=32, ndet=32, nprb=24,
+                 nmodes=2)
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(6), g,
+                                             dtype=jnp.complex64)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+    psi_1, prb_1, m_1 = run(data, psi0, scan, prb * 0.9, g, piter=8,
+                            recover_prb=True)
+    mesh = make_mesh((2, 4))
+    data_s, scan_s = shard_problem(mesh, data, scan)
+    psi_n, prb_n, m_n = run_sharded(data_s, psi0, scan_s, prb * 0.9, g,
+                                    mesh, piter=8, recover_prb=True)
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_n["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(prb_1 - prb_n))) < 2e-3 * float(
+        jnp.max(jnp.abs(prb_1)))
+
+
+def test_theta_sharded_validation():
+    g = Geometry(ntheta=3, nz=96, n=96, nscan=32, ndet=32, nprb=24)
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(7), g,
+                                             dtype=jnp.complex64)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+    mesh = make_mesh((2, 4))  # ntheta=3 % 2 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        run_sharded(data, psi0, scan, prb, g, mesh)
+
+
 def test_sharded_validation(problem):
     g, _, scan, prb, data, psi0 = problem
     mesh = make_mesh(3)  # 64 % 3 != 0

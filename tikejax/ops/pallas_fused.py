@@ -373,8 +373,8 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _adj_residual_kernel(P, nmodes, nprb, model, prec, sy, sx, fr, fi, gre,
-                         gim, dat, bre, bim, ore, oim, fsum):
+def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx,
+                         fr, fi, gre, gim, dat, bre, bim, ore, oim, fsum):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -386,8 +386,15 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, sy, sx, fr, fi, gre,
 
     minf_acc = jnp.zeros((), jnp.float32)
     for p in range(P):
-        y = sy[i, j * P + p]
-        x = sx[i, j * P + p]
+        idx = j * P + p
+        y = sy[i, idx]
+        x = sx[i, idx]
+        # Mask padded tail positions (idx >= s_actual): for gaussian the
+        # eps guard makes a zero frame contribute ndet^2 * 1e-12 to minf,
+        # so zero-padding alone is not enough (same masking as
+        # _grad_kernel).
+        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
+                          jnp.float32(0.0))
         # Incoherent intensity over modes, residual factor, objective.
         intensity = jnp.zeros_like(dat[0, p])
         for m in range(nmodes):
@@ -396,11 +403,11 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, sy, sx, fr, fi, gre,
         if model == "gaussian":
             amp = jnp.sqrt(intensity + 1e-12)
             sq = jnp.sqrt(d)
-            factor = 1.0 - sq / amp
-            minf_acc = minf_acc + jnp.sum((amp - sq) ** 2)
+            factor = (1.0 - sq / amp) * valid
+            minf_acc = minf_acc + valid * jnp.sum((amp - sq) ** 2)
         else:  # poisson
-            factor = 1.0 - d / (intensity + 1e-8)
-            minf_acc = minf_acc + jnp.sum(
+            factor = (1.0 - d / (intensity + 1e-8)) * valid
+            minf_acc = minf_acc + valid * jnp.sum(
                 intensity - d * jnp.log(intensity + 1e-8))
         acc_re = jnp.zeros((nprb, nprb), jnp.float32)
         acc_im = jnp.zeros((nprb, nprb), jnp.float32)
@@ -436,8 +443,7 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
     gre, gim = _split_c64(farplane)
     gre = _pad_axis1(gre, s_pad)
     gim = _pad_axis1(gim, s_pad)
-    # Padded frames have I=0 and d=0: zero objective and zero residual
-    # contribution for both models.
+    # Padded tail frames are masked out inside the kernel (idx >= s).
     dat = _pad_axis1(data.astype(jnp.float32), s_pad)
     bre, bim = _split_c64(prb)
     fr, fi = _dft_factors(ndet, nprb)
@@ -475,7 +481,7 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
     ]
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_adj_residual_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION),
+                          precision or PRECISION, s),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),

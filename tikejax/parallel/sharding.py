@@ -9,8 +9,12 @@ this module is the new first-class distributed layer (BASELINE.json:11):
   the object/probe gradients and scalar objectives are ``psum``-ed over
   ICI every iteration (see tikejax.solvers.cg, options.axis_name).
 * **P2 angle parallelism**: shard the embarrassingly-parallel ``ntheta``
-  axis (no collectives needed) -- compose by putting 'theta' first in the
-  mesh and sharding all arrays' leading axis.
+  axis. Pass a 2-D mesh (``make_mesh((t, s))``, axes ('theta', 'scan'))
+  to :func:`run_sharded`: psi/prb/gradients stay sharded per-angle with
+  NO collective (angles are independent sub-problems), while the scalar
+  objective / line-search / Dai-Yuan statistics are psum-ed over both
+  axes so every device agrees on the global step sizes -- the result is
+  bit-for-bit the same algorithm as the single-device solver.
 
 Everything is ``jax.shard_map`` + XLA collectives: no communication code
 of our own, and the whole sharded CG run is still ONE jitted program with
@@ -30,26 +34,50 @@ from tikejax.geometry import Geometry
 from tikejax.solvers import cg as _cg
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "scan",
-              devices=None) -> Mesh:
-    """1-D device mesh for position sharding.
+def make_mesh(n_devices: int | tuple[int, int] | None = None,
+              axis: str = "scan", devices=None) -> Mesh:
+    """Device mesh for position (1-D) or angle x position (2-D) sharding.
 
     Args:
-      n_devices: number of devices to use (default: all).
-      axis: mesh axis name.
+      n_devices: number of devices to use (default: all), or a
+        ``(ntheta_shards, nscan_shards)`` tuple for a 2-D
+        ('theta', 'scan') mesh.
+      axis: mesh axis name (1-D meshes).
       devices: explicit device list (default: ``jax.devices()``).
     """
     if devices is None:
         devices = jax.devices()
+    if isinstance(n_devices, tuple):
+        t, s = n_devices
+        if t * s > len(devices):
+            raise ValueError(
+                f"mesh {n_devices} needs {t * s} devices, have "
+                f"{len(devices)}")
+        return Mesh(np.asarray(devices[:t * s]).reshape(t, s),
+                    ("theta", "scan"))
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _axes(mesh: Mesh) -> tuple[str | None, str]:
+    """(theta_axis_or_None, scan_axis) for a 1-D or 2-D mesh."""
+    names = mesh.axis_names
+    if len(names) == 1:
+        return None, names[0]
+    if len(names) == 2:
+        return names[0], names[1]
+    raise ValueError(f"expected a 1-D or 2-D mesh, got axes {names}")
+
+
 def shard_problem(mesh: Mesh, data, scan, axis: str | None = None):
-    """Place data/scan sharded over the mesh's scan axis (device_put)."""
-    axis = axis or mesh.axis_names[-1]
-    spec = P(None, axis)
+    """Place data/scan sharded over the mesh (device_put).
+
+    1-D meshes shard the scan axis; 2-D ('theta', 'scan') meshes shard
+    the leading angle axis too.
+    """
+    theta_ax, scan_ax = _axes(mesh)
+    spec = P(theta_ax, axis or scan_ax)
     data = jax.device_put(data, NamedSharding(mesh, spec))
     scan = jax.device_put(scan, NamedSharding(mesh, spec))
     return data, scan
@@ -64,25 +92,38 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
     the mesh, gradients/objectives are globally summed every iteration.
 
     Args:
-      mesh: 1-D mesh; its (last) axis shards scan positions. ``nscan`` must
-        be divisible by the axis size.
+      mesh: 1-D mesh (its axis shards scan positions) or 2-D
+        ('theta', 'scan') mesh (leading axis additionally shards the
+        angle axis of psi/prb/scan/data). ``nscan`` (resp. ``ntheta``)
+        must be divisible by the corresponding axis size.
 
     Returns:
-      (psi, prb, metrics) -- all replicated across devices.
+      (psi, prb, metrics) -- psi/prb replicated (1-D mesh) or sharded
+      per-angle (2-D mesh); metrics replicated.
     """
     if options is None:
         options = _cg.CGOptions(**kw)
     elif kw:
         options = dataclasses.replace(options, **kw)
-    axis = mesh.axis_names[-1]
-    nsh = mesh.shape[axis]
+    theta_ax, scan_ax = _axes(mesh)
+    nsh = mesh.shape[scan_ax]
     if geometry.nscan % nsh != 0:
         raise ValueError(
             f"nscan ({geometry.nscan}) must be divisible by the mesh axis "
             f"size ({nsh})")
-    # Inside shard_map every device sees its local slice of the scan axis.
+    # Inside shard_map every device sees its local slice of the sharded
+    # axes.
     g_local = dataclasses.replace(geometry, nscan=geometry.nscan // nsh)
-    options = dataclasses.replace(options, axis_name=axis)
+    if theta_ax is not None:
+        tsh = mesh.shape[theta_ax]
+        if geometry.ntheta % tsh != 0:
+            raise ValueError(
+                f"ntheta ({geometry.ntheta}) must be divisible by the "
+                f"theta mesh axis size ({tsh})")
+        g_local = dataclasses.replace(g_local,
+                                      ntheta=geometry.ntheta // tsh)
+    options = dataclasses.replace(options, axis_name=scan_ax,
+                                  theta_axis_name=theta_ax)
 
     body = functools.partial(_cg.run_impl, g_local, options)
     # check_vma=False: the Pallas kernels' out_shapes carry no
@@ -91,8 +132,9 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
     # the solver and verified numerically in tests/test_sharding.py.
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, axis), P(), P(None, axis), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(theta_ax, scan_ax), P(theta_ax), P(theta_ax, scan_ax),
+                  P(theta_ax)),
+        out_specs=(P(theta_ax), P(theta_ax), P()),
         check_vma=False,
     )
     return jax.jit(sharded)(data, psi0, scan, prb0)

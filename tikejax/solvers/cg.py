@@ -67,6 +67,12 @@ class CGOptions:
         (Pallas gather/scatter + XLA FFT), 'xla' (oracle).
       axis_name: mesh axis name for scan-sharded execution (psum of scalars
         and gradients); None for single-device runs.
+      theta_axis_name: mesh axis name sharding the (embarrassingly
+        parallel) ``ntheta`` angle axis (SURVEY.md SS5 P2). The object,
+        probe and their gradients stay sharded per-angle (no collective);
+        only the scalar objective/line-search/Dai-Yuan statistics are
+        additionally psum-ed over this axis so every device agrees on the
+        global step sizes, matching the single-device solver exactly.
       verbose_every: if >0, jax.debug.print (iter, minf, gamma) every N
         iterations (the reference prints residuals from the host loop).
     """
@@ -80,6 +86,7 @@ class CGOptions:
     nchunks: int = 1
     kernel: str = "auto"
     axis_name: str | None = None
+    theta_axis_name: str | None = None
     verbose_every: int = 0
     # Gradient preconditioner: 'illum' divides the object gradient by the
     # probe-illumination map (and the probe gradient by the object power
@@ -111,14 +118,32 @@ def _rdot(a, b):
 
 
 def _psum(x, axis_name):
-    return lax.psum(x, axis_name) if axis_name is not None else x
+    """psum over one axis name, a tuple of axis names, or None (no-op)."""
+    if axis_name is None or axis_name == ():
+        return x
+    return lax.psum(x, axis_name)
 
 
-def _pvary(x, axis_name):
-    """Mark a replicated value as device-varying along the mesh axis, so it
+def _scalar_axes(o: "CGOptions"):
+    """Mesh axes over which scalar statistics are globally summed: the
+    scan axis (positions partition the data sum) and, when set, the theta
+    axis (angles partition it too)."""
+    axes = tuple(a for a in (o.theta_axis_name, o.axis_name)
+                 if a is not None)
+    return axes if axes else None
+
+
+def _pvary(x, axis_names):
+    """Mark a replicated value as device-varying along the mesh axes, so it
     can serve as the carry init of accumulations over sharded data inside
     shard_map (JAX tracks 'varying manual axes' and rejects mixing)."""
-    return lax.pvary(x, (axis_name,)) if axis_name is not None else x
+    if axis_names is None or axis_names == ():
+        return x
+    if isinstance(axis_names, str):
+        axis_names = (axis_names,)
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, axis_names, to="varying")
+    return lax.pvary(x, axis_names)  # pre-0.9 JAX
 
 
 def _chunked(x, nchunks):
@@ -273,7 +298,7 @@ class _Engine:
 
             real_dtype = np.empty(0, np.result_type(psi.dtype)).real.dtype
             init = jax.tree.map(
-                lambda x: _pvary(x, o.axis_name),
+                lambda x: _pvary(x, _scalar_axes(o)),
                 (jnp.zeros((), real_dtype),
                  jnp.zeros_like(psi) if want_psi else jnp.zeros(()),
                  jnp.zeros_like(prb) if want_prb else jnp.zeros(())))
@@ -282,7 +307,10 @@ class _Engine:
                 gpsi = None
             if not want_prb:
                 gprb = None
-        f0 = _psum(f0, o.axis_name)
+        # Scalars are global sums (scan and theta axes both partition the
+        # frame sum); gradients are per-theta arrays, so they reduce over
+        # the scan axis only and stay theta-sharded.
+        f0 = _psum(f0, _scalar_axes(o))
         if gpsi is not None:
             gpsi = _psum(gpsi, o.axis_name)
         if gprb is not None:
@@ -342,7 +370,7 @@ class _Engine:
             def f_of(gamma):
                 return _psum(
                     _minf_of_gamma(o.model, a, b, c, data, gamma),
-                    o.axis_name)
+                    _scalar_axes(o))
 
             return f_of
 
@@ -369,9 +397,9 @@ class _Engine:
                 return carry + _minf_of_gamma(o.model, a, b, c, dc,
                                               gamma), None
 
-            total, _ = lax.scan(red, _pvary(jnp.zeros(()), o.axis_name),
+            total, _ = lax.scan(red, _pvary(jnp.zeros(()), _scalar_axes(o)),
                                 (a_c, b_c, c_c, data_c))
-            return _psum(total, o.axis_name)
+            return _psum(total, _scalar_axes(o))
 
         return f_of
 
@@ -411,7 +439,7 @@ class _Engine:
         gammas = gamma0.astype(jnp.float32) * shrinks
         fvals = pallas_linesearch.ls_objectives(fpsi, fd, data, gammas,
                                                 o.model)
-        fvals = _psum(fvals, o.axis_name)
+        fvals = _psum(fvals, _scalar_axes(o))
         ok = fvals <= f0
         idx = jnp.argmax(ok)
         return jnp.where(jnp.any(ok), gammas[idx], 0.0).astype(dtype)
@@ -438,13 +466,14 @@ class _Engine:
 
     # -- Dai-Yuan direction ----------------------------------------------
 
-    @staticmethod
-    def dy_direction(grad, grad_prev, d_prev):
+    def dy_direction(self, grad, grad_prev, d_prev):
         """d = -g + beta * d_prev, beta = ||g||^2 / <d_prev, g - g_prev>_R
         (Dai-Yuan 1999), with a zero-division guard that yields steepest
-        descent on the first iteration (d_prev = 0)."""
-        num = _rdot(grad, grad)
-        den = _rdot(d_prev, grad - grad_prev)
+        descent on the first iteration (d_prev = 0). Under theta sharding
+        the inner products are over the theta-sharded arrays, so they are
+        psum-ed to the global values (beta is a global scalar)."""
+        num = _psum(_rdot(grad, grad), self.o.theta_axis_name)
+        den = _psum(_rdot(d_prev, grad - grad_prev), self.o.theta_axis_name)
         beta = jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
         return -grad + beta.astype(grad.dtype) * d_prev
 
@@ -499,7 +528,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
     scan_i = _patches.scan_to_int(scan)
     # Normalisation for the relative data residual sqrt(minf / sum(data))
     # (meaningful for the gaussian amplitude objective).
-    sum_data = _psum(jnp.sum(jnp.maximum(data, 0.0)), o.axis_name)
+    sum_data = _psum(jnp.sum(jnp.maximum(data, 0.0)), _scalar_axes(o))
 
     metrics0 = {
         "minf": jnp.zeros((o.piter,), real_dtype),
@@ -573,8 +602,9 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
             "minf": metrics["minf"].at[i].set(f0.astype(real_dtype)),
             "residual": metrics["residual"].at[i].set(residual),
             "gamma": metrics["gamma"].at[i].set(gamma),
-            "grad_norm": metrics["grad_norm"].at[i].set(
-                jnp.sqrt(_rdot(gpsi, gpsi)).astype(real_dtype)),
+            "grad_norm": metrics["grad_norm"].at[i].set(jnp.sqrt(
+                _psum(_rdot(gpsi, gpsi),
+                      o.theta_axis_name)).astype(real_dtype)),
             "gamma_prb": metrics["gamma_prb"].at[i].set(gamma_p),
         }
         if o.verbose_every > 0:

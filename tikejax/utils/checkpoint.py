@@ -1,10 +1,12 @@
 """Checkpoint / resume of reconstruction state.
 
 The reference has no checkpointing at all -- ``run`` returns final arrays
-and users save .npy manually (SURVEY.md SS5). Here any pytree of arrays
-(psi, prb, metrics, solver state) round-trips through a single ``.npz``
-file. Complex arrays are stored as (real, imag) float pairs so the save
-path never performs a complex device->host transfer (see
+and users save .npy manually (SURVEY.md SS5). Here a nested dict of
+arrays (psi, prb, metrics, solver state) round-trips through a single
+``.npz`` file; the container contract is dicts-of-dicts-of-arrays only
+(lists/tuples and non-dict roots are rejected with TypeError rather than
+silently mangled). Complex arrays are stored as (real, imag) float pairs
+so the save path never performs a complex device->host transfer (see
 tikejax.utils.hostio) and the files are readable by plain numpy.
 """
 
@@ -38,13 +40,23 @@ def _flatten(tree, prefix=""):
                     f"'{_COMPLEX_SUFFIX_IM}': {k!r}")
             out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
         return out
+    if isinstance(tree, (list, tuple)):
+        raise TypeError(
+            "checkpoint containers must be nested dicts of arrays; got a "
+            f"{type(tree).__name__} at {prefix or '<root>'!r} -- convert "
+            "it to a dict (e.g. {'0': ..., '1': ...}) or stack it into "
+            "one array")
     key = prefix[:-1] if prefix.endswith(_SEP) else prefix
     out[key] = tree
     return out
 
 
 def save(path: str, tree) -> None:
-    """Save a (possibly nested dict) pytree of arrays to ``path`` (.npz)."""
+    """Save a nested dict of arrays to ``path`` (.npz)."""
+    if not isinstance(tree, dict):
+        raise TypeError(
+            "checkpoint root must be a dict of arrays, got "
+            f"{type(tree).__name__}")
     flat = _flatten(tree)
     arrays = {}
     for k, v in flat.items():
