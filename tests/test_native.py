@@ -24,19 +24,44 @@ def test_validate(monkeypatch, native):
     assert bad == 1  # the -0.5 row floors to -1
 
 
-def test_morton_matches_fallback():
-    rng = np.random.default_rng(0)
-    scan = rng.integers(0, 400, size=(500, 2)).astype(np.int32)
-    native = scanprep.morton_order(scan)
-    import unittest.mock as mock
-    with mock.patch.object(scanprep, "_load", lambda: None):
-        fallback = scanprep.morton_order(scan)
-    np.testing.assert_array_equal(native, fallback)
-    # locality: consecutive positions should be nearby on average
-    s = scan[native]
-    d_sorted = np.abs(np.diff(s, axis=0)).sum(1).mean()
-    d_orig = np.abs(np.diff(scan, axis=0)).sum(1).mean()
-    assert d_sorted < d_orig
+def test_scan_report_and_check():
+    """The native layer's production consumers: ingestion validation and
+    coverage diagnostics (tikejax.models.diagnostics)."""
+    import jax
+
+    from tikejax import Geometry
+    from tikejax.models import check_scan, make_problem, scan_report
+
+    g = Geometry(ntheta=2, nz=96, n=96, nscan=64, ndet=32, nprb=24)
+    _, scan, _, _ = make_problem(jax.random.PRNGKey(0), g)
+    scan = np.asarray(scan)
+    rep = scan_report(scan, g)
+    assert rep["n_out_of_bounds"] == 0
+    assert rep["coverage_max"] >= rep["coverage_mean"] > 1.0  # overlap
+    assert rep["uncovered_fraction"] < 0.2
+    check_scan(scan, g)  # no raise
+    bad = scan.copy()
+    bad[0, 3] = [-2.0, 5.0]
+    assert scan_report(bad, g)["n_out_of_bounds"] == 1
+    with pytest.raises(ValueError, match="out of bounds"):
+        check_scan(bad, g)
+
+
+def test_compat_rejects_bad_scan():
+    import jax
+
+    from tikejax import Geometry
+    from tikejax.compat import CGPtychoSolver
+    from tikejax.models import make_problem
+
+    g = Geometry(nz=96, n=96, nscan=16, ndet=32, nprb=24)
+    psi, scan, prb, data = make_problem(jax.random.PRNGKey(1), g)
+    solver = CGPtychoSolver(ntheta=1, nz=96, n=96, nscan=16, ndet=32,
+                            nprb=24, kernel="xla")
+    bad = np.asarray(scan).copy()
+    bad[0, 0] = [95.0, 0.0]  # probe window leaves the object
+    with pytest.raises(ValueError, match="out of bounds"):
+        solver.fwd(np.asarray(psi), bad, np.asarray(prb))
 
 
 def test_overlap_counts_matches_device_scatter():

@@ -1,0 +1,98 @@
+"""Tests for early-exit targets, parabolic line search, kernel tiering."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tikejax import Geometry
+from tikejax.models import make_problem
+from tikejax.ops import diffraction
+from tikejax.solvers import CGOptions, reconstruct, run
+from tikejax.solvers.cg import normalize_options
+
+GEOM = Geometry(nz=96, n=96, nscan=64, ndet=32, nprb=24)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(11), GEOM,
+                                             dtype=jnp.complex64)
+    psi0 = jnp.ones(GEOM.psi_shape, jnp.complex64)
+    return psi_true, scan, prb, data, psi0
+
+
+def test_target_residual_early_exit(problem):
+    psi_true, scan, prb, data, psi0 = problem
+    _, _, m_full = run(data, psi0, scan, prb, GEOM, piter=48)
+    res_full = np.asarray(m_full["residual"])
+    assert int(m_full["iters_run"]) == 48
+    # pick a target the full run reached around halfway
+    target = float(res_full[24])
+    psi, _, m = run(data, psi0, scan, prb, GEOM, piter=48,
+                    target_residual=target)
+    k = int(m["iters_run"])
+    assert 0 < k < 48
+    res = np.asarray(m["residual"])
+    assert res[k - 1] <= target
+    # the early-exited prefix matches the full run's trajectory
+    np.testing.assert_allclose(res[:k], res_full[:k], rtol=1e-5)
+    # unexecuted slots stay zero
+    assert np.all(res[k:] == 0)
+
+
+def test_parabolic_linesearch_converges(problem):
+    psi_true, scan, prb, data, psi0 = problem
+    _, _, m_bt = run(data, psi0, scan, prb, GEOM, piter=24)
+    _, _, m_pb = run(data, psi0, scan, prb, GEOM, piter=24,
+                     linesearch="parabolic")
+    bt = np.asarray(m_bt["minf"])
+    pb = np.asarray(m_pb["minf"])
+    assert pb[-1] > 0 and np.isfinite(pb).all()
+    # parabolic refinement must not lose to plain backtracking by more
+    # than noise (it usually wins substantially)
+    assert pb[-1] <= 1.05 * bt[-1]
+    with pytest.raises(ValueError, match="linesearch"):
+        run(data, psi0, scan, prb, GEOM, piter=2, linesearch="golden")
+
+
+def test_reconstruct_tier_chaining(problem):
+    psi_true, scan, prb, data, psi0 = problem
+    # two-tier chain on the CPU oracle kernel: a shallow tier that exits
+    # at its floor, then a deep tier that finishes the job
+    tiers = (("xla", 2e-1, 32), ("xla", 0.0, 64))
+    psi, prb_out, stages = reconstruct(data, psi0, scan, prb, GEOM,
+                                       target_residual=1e-1, tiers=tiers)
+    assert [k for k, _ in stages] == ["xla", "xla"]
+    k0 = int(stages[0][1]["iters_run"])
+    k1 = int(stages[1][1]["iters_run"])
+    res1 = np.asarray(stages[1][1]["residual"])
+    assert res1[k1 - 1] <= 1e-1
+    assert k0 <= 32 and k1 <= 64
+    # a shallow target runs the first tier only
+    _, _, st2 = reconstruct(data, psi0, scan, prb, GEOM,
+                            target_residual=3e-1, tiers=tiers)
+    assert len(st2) == 1
+    with pytest.raises(ValueError, match="target_residual"):
+        reconstruct(data, psi0, scan, prb, GEOM, target_residual=0)
+
+
+def test_auto_kernel_resolves_by_target(monkeypatch):
+    monkeypatch.setattr(diffraction.jax, "default_backend", lambda: "tpu")
+    assert diffraction.resolve_kernel_for_target("auto", 0.0) == "fused"
+    assert diffraction.resolve_kernel_for_target("auto", 1e-2) == "fused"
+    assert diffraction.resolve_kernel_for_target("auto", 1e-3) == "fused_mp"
+    assert diffraction.resolve_kernel_for_target("auto", 1e-6) == "fused_hp"
+    # explicit kernels are never overridden
+    assert diffraction.resolve_kernel_for_target("fused", 1e-6) == "fused"
+    o = normalize_options(CGOptions(kernel="auto", target_residual=1e-6))
+    assert o.kernel == "fused_hp"
+
+
+def test_auto_kernel_cpu_backend():
+    # on CPU 'auto' stays the XLA oracle regardless of target
+    assert diffraction.resolve_kernel_for_target("auto", 1e-6) == "xla"
+    o = normalize_options(CGOptions(kernel="auto", target_residual=1e-6))
+    assert o.kernel == "xla"

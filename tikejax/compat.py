@@ -53,11 +53,17 @@ class CGPtychoSolver:
         return psi
 
     def _scan(self, scan):
-        scan = hostio.to_device(scan, np.float32)
         if scan.shape != self.geometry.scan_shape:
             raise ValueError(f"scan shape {scan.shape} != "
                              f"{self.geometry.scan_shape}")
-        return scan
+        if isinstance(scan, np.ndarray):
+            # Host-side ingestion validation (native scanprep): the
+            # device kernels clamp out-of-bounds windows silently, which
+            # would corrupt the fit -- reject bad grids at the boundary.
+            from tikejax.models import check_scan
+
+            check_scan(scan, self.geometry)
+        return hostio.to_device(scan, np.float32)
 
     # -- operators -------------------------------------------------------
 

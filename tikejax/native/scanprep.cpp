@@ -11,10 +11,6 @@
 //   scanprep_validate: floor float (y, x) to int32, bounds-check against
 //     the object/probe geometry. Returns the number of out-of-bounds
 //     positions (0 == all valid).
-//   scanprep_morton_order: argsort positions along a Morton (Z-order)
-//     curve. Sorted scan order gives the Pallas gather/scatter kernels
-//     spatial locality in the VMEM-resident object (and the FFT batches
-//     don't care about order). Stable within equal keys.
 //   scanprep_overlap_counts: per-pixel patch coverage counts (the
 //     illumination map denominator) computed in one pass -- O(nscan)
 //     using a 2-D difference-array instead of O(nscan * nprb^2)
@@ -25,8 +21,6 @@
 
 #include <cstdint>
 #include <cmath>
-#include <algorithm>
-#include <numeric>
 #include <vector>
 
 extern "C" {
@@ -48,30 +42,12 @@ int64_t scanprep_validate(const float* scan, int64_t n, int32_t nz,
     return bad;
 }
 
-static inline uint64_t part1by1(uint32_t v) {
-    uint64_t x = v;
-    x &= 0xffffffffull;
-    x = (x | (x << 16)) & 0x0000ffff0000ffffull;
-    x = (x | (x << 8)) & 0x00ff00ff00ff00ffull;
-    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0full;
-    x = (x | (x << 2)) & 0x3333333333333333ull;
-    x = (x | (x << 1)) & 0x5555555555555555ull;
-    return x;
-}
-
-// Morton-order argsort of int32 (y, x) pairs. order: (n,) int64 output.
-void scanprep_morton_order(const int32_t* scan, int64_t n, int64_t* order) {
-    std::vector<uint64_t> keys((size_t)n);
-    for (int64_t i = 0; i < n; ++i) {
-        const uint32_t y = (uint32_t)std::max(scan[2 * i], 0);
-        const uint32_t x = (uint32_t)std::max(scan[2 * i + 1], 0);
-        keys[(size_t)i] = (part1by1(y) << 1) | part1by1(x);
-    }
-    std::iota(order, order + n, (int64_t)0);
-    std::stable_sort(order, order + n, [&](int64_t a, int64_t b) {
-        return keys[(size_t)a] < keys[(size_t)b];
-    });
-}
+// NOTE: a Morton-order locality sort used to live here; it was measured
+// to have ZERO effect on the fused-kernel CG rate (57.8 raster / 57.9
+// Morton / 58.6 random iters/s on the 512^2/16k headline config,
+// within run-to-run noise) because the kernels hold the entire object
+// in VMEM -- there is no gather locality to exploit on TPU. Deleted;
+// see BASELINE.md.
 
 // Per-pixel coverage counts via 2-D difference array: O(n + nz*nx).
 // counts: (nz, nx) float32, pre-zeroed by the caller.

@@ -57,10 +57,6 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32)]
-            lib.scanprep_morton_order.restype = None
-            lib.scanprep_morton_order.argtypes = [
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_int64)]
             lib.scanprep_overlap_counts.restype = None
             lib.scanprep_overlap_counts.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -100,35 +96,10 @@ def validate_scan(scan, nz: int, n: int, nprb: int):
     return out.reshape(scan.shape), bad
 
 
-def morton_order(scan_int):
-    """Argsort (nscan, 2) int32 positions along a Morton (Z-order) curve.
-
-    Reordering scan positions (and the matching data frames) gives the
-    gather/scatter kernels spatial locality in the object; the physics is
-    order-invariant.
-    """
-    scan_int = np.ascontiguousarray(scan_int, np.int32).reshape(-1, 2)
-    n = scan_int.shape[0]
-    lib = _load()
-    if lib is not None:
-        order = np.empty((n,), np.int64)
-        lib.scanprep_morton_order(_ptr(scan_int, ctypes.c_int32), n,
-                                  _ptr(order, ctypes.c_int64))
-        return order
-
-    def part1by1(v):
-        v = v.astype(np.uint64)
-        v = (v | (v << 16)) & np.uint64(0x0000ffff0000ffff)
-        v = (v | (v << 8)) & np.uint64(0x00ff00ff00ff00ff)
-        v = (v | (v << 4)) & np.uint64(0x0f0f0f0f0f0f0f0f)
-        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
-        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
-        return v
-
-    y = np.maximum(scan_int[:, 0], 0).astype(np.uint32)
-    x = np.maximum(scan_int[:, 1], 0).astype(np.uint32)
-    keys = (part1by1(y) << np.uint64(1)) | part1by1(x)
-    return np.argsort(keys, kind="stable").astype(np.int64)
+# NOTE: morton_order (Z-curve locality sort) was deleted after a TPU
+# measurement showed zero effect on the fused-kernel rate -- the kernels
+# hold the whole object in VMEM, so scan order carries no locality
+# (57.8 raster / 57.9 Morton / 58.6 random iters/s; BASELINE.md).
 
 
 def overlap_counts_host(scan_int, nz: int, n: int, nprb: int):

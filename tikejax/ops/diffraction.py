@@ -55,10 +55,32 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 _KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "auto")
 
 
+# Practical relative-residual floors of the fused accuracy tiers on the
+# headline configs (BASELINE.md time-to-residual table), with margin:
+# convergence stalls well before the raw operator error because CG keeps
+# re-evaluating a noisy objective near its floor.
+FUSED_RESIDUAL_FLOOR = 5e-3      # 'fused'    (~1e-3 operator error)
+FUSED_MP_RESIDUAL_FLOOR = 3e-5   # 'fused_mp' (~6e-6 operator error)
+
+
 def resolve_kernel(kernel: str) -> str:
     if kernel == "auto":
         return "fused" if jax.default_backend() == "tpu" else "xla"
     return kernel
+
+
+def resolve_kernel_for_target(kernel: str, target_residual: float) -> str:
+    """Resolve 'auto' honouring a requested relative-residual target: deep
+    targets escalate to the middle/full-precision DFT tiers whose floors
+    can actually reach them (VERDICT r1 #8: 'auto' was silently
+    speed-biased). Explicit kernel choices are returned unchanged."""
+    if kernel != "auto" or jax.default_backend() != "tpu":
+        return resolve_kernel(kernel)
+    if target_residual and target_residual <= FUSED_MP_RESIDUAL_FLOOR:
+        return "fused_hp"
+    if target_residual and target_residual <= FUSED_RESIDUAL_FLOOR:
+        return "fused_mp"
+    return "fused"
 
 
 def _fused_precision(kernel: str):

@@ -105,6 +105,7 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
         options = _cg.CGOptions(**kw)
     elif kw:
         options = dataclasses.replace(options, **kw)
+    options = _cg.normalize_options(options)
     theta_ax, scan_ax = _axes(mesh)
     nsh = mesh.shape[scan_ax]
     if geometry.nscan % nsh != 0:

@@ -104,6 +104,22 @@ class CGOptions:
     # iters/s on the headline config) and VMEM-heavier for many modes;
     # kept as an option for bandwidth-starved regimes.
     fused_linesearch: bool = False
+    # Stop early once the relative residual sqrt(minf / sum(data)) drops
+    # to this value (0 disables: the loop always runs piter iterations).
+    # With a target set the loop is a lax.while_loop; metrics entries for
+    # unexecuted iterations stay 0 and metrics['iters_run'] records the
+    # actual count. 'auto' kernel selection honours the target (deep
+    # targets escalate to the fused_mp/fused_hp accuracy tiers).
+    target_residual: float = 0.0
+    # Line-search policy: 'backtracking' (reference-style halving until
+    # decrease) or 'parabolic' (backtracking + a parabola fit through
+    # {0, gamma/2, gamma} refined to the vertex, ~2 extra statistics
+    # reductions per iteration). Measured: parabolic helps early/
+    # well-conditioned phases but HURTS the deep fp32 tail (the vertex
+    # chases objective noise once f(gamma) flattens; 8.6e-5 vs 1.7e-5
+    # at 512 fused_hp iters on the headline config) -- keep the default
+    # for deep-residual work.
+    linesearch: str = "backtracking"
     # Farplane policy on the fused kernel paths: 'materialized' keeps
     # G(psi) in HBM between the forward and the gradient tail (fastest
     # when it fits); 'frameless' computes every farplane frame in VMEM
@@ -191,6 +207,11 @@ class _Engine:
                              "expected 'illum', 'max', or 'none'")
         if o.memory not in ("auto", "materialized", "frameless"):
             raise ValueError(f"unknown memory policy {o.memory!r}")
+        if o.linesearch not in ("backtracking", "parabolic"):
+            raise ValueError(f"unknown linesearch {o.linesearch!r}; "
+                             "expected 'backtracking' or 'parabolic'")
+        if o.target_residual < 0:
+            raise ValueError("target_residual must be >= 0")
         self.g = g
         self.o = o
         self.minf_fn, self.resid_fn = likelihoods.get_model(o.model)
@@ -462,7 +483,33 @@ class _Engine:
             return gamma, f_of(gamma), k + 1
 
         gamma, fg, _ = lax.while_loop(cond, body, (gamma0, f_of(gamma0), 0))
-        return jnp.where(fg <= f0, gamma, jnp.zeros_like(gamma))
+        gamma = jnp.where(fg <= f0, gamma, jnp.zeros_like(gamma))
+        if o.linesearch == "parabolic":
+            gamma = self._parabolic_refine(f_of, f0, gamma, fg)
+        return gamma
+
+    def _parabolic_refine(self, f_of, f0, gamma, fg):
+        """Refine an accepted backtracking step to the vertex of the
+        parabola through (0, f0), (gamma/2, fm), (gamma, fg): a near-exact
+        line search for two extra statistics reductions. Monotone by
+        construction -- the vertex candidate is only taken when it beats
+        the sampled points, and a rejected search (gamma = 0) is passed
+        through untouched."""
+        fm = f_of(gamma * 0.5)
+        curv = f0 - 2.0 * fm + fg          # = C * gamma^2 / 2, C = d2f
+        vertex = (0.25 * gamma * (3.0 * f0 + fg - 4.0 * fm)
+                  / jnp.where(curv > 0, curv, 1.0))
+        vertex = jnp.clip(vertex, 0.125 * gamma, 2.0 * gamma)
+        fv = f_of(vertex)
+        # argmin over the three sampled gammas (f0 anchors the <= f0
+        # guarantee: every candidate here already satisfies f <= f0 or
+        # loses the argmin to one that does).
+        cand_g = jnp.stack([gamma, gamma * 0.5, vertex])
+        cand_f = jnp.stack([fg, fm, fv])
+        best = jnp.argmin(cand_f)
+        ok = jnp.logical_and(gamma > 0, curv > 0)
+        refined = jnp.where(cand_f[best] <= fg, cand_g[best], gamma)
+        return jnp.where(ok, refined, gamma)
 
     # -- Dai-Yuan direction ----------------------------------------------
 
@@ -619,7 +666,26 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
     st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
            jnp.zeros_like(prb0), jnp.zeros_like(prb0),
            jnp.zeros((), real_dtype), jnp.zeros((), real_dtype), metrics0)
-    psi, prb, *_, metrics = lax.fori_loop(0, o.piter, body, st0)
+    if o.target_residual > 0:
+        # Early-exit loop: stop once the previous iteration's relative
+        # residual reached the target (still zero host round-trips --
+        # the stop condition lives on device).
+        def wcond(carry):
+            i, st = carry
+            res = st[-1]["residual"][jnp.maximum(i - 1, 0)]
+            deep_enough = jnp.logical_or(i == 0, res > o.target_residual)
+            return jnp.logical_and(i < o.piter, deep_enough)
+
+        def wbody(carry):
+            i, st = carry
+            return i + 1, body(i, st)
+
+        iters_run, (psi, prb, *_, metrics) = lax.while_loop(
+            wcond, wbody, (jnp.zeros((), jnp.int32), st0))
+    else:
+        psi, prb, *_, metrics = lax.fori_loop(0, o.piter, body, st0)
+        iters_run = jnp.asarray(o.piter, jnp.int32)
+    metrics = dict(metrics, iters_run=iters_run)
     return psi, prb, metrics
 
 
@@ -631,6 +697,14 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     ``solver.run(data, psi, scan, prb, piter, model, recover_prb)``
     (SURVEY.md SS3.1). Extra keyword arguments override CGOptions fields.
 
+    Kernel accuracy tiers (``kernel=``, see tikejax.ops.diffraction):
+    'fused' is the fastest (~1e-3 operator error, residual floor ~2e-3),
+    'fused_mp' ~6e-6 at ~half the rate, 'fused_hp' ~2e-7 at ~quarter
+    rate. ``kernel='auto'`` picks by ``target_residual`` when one is set
+    (deep targets escalate the tier) and 'fused' otherwise; for
+    time-to-deep-residual reconstruction prefer :func:`reconstruct`,
+    which chains the tiers.
+
     Returns:
       (psi, prb, metrics) where metrics is a dict of per-iteration arrays
       {'minf', 'residual', 'gamma', 'grad_norm', 'gamma_prb'} of shape
@@ -641,7 +715,18 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
         options = CGOptions(**kw)
     elif kw:
         options = dataclasses.replace(options, **kw)
+    options = normalize_options(options)
     return _run_cg_jit(geometry, options, data, psi0, scan, prb0)
+
+
+def normalize_options(options: CGOptions) -> CGOptions:
+    """Resolve 'auto' kernel selection against the residual target (done
+    host-side, before the options become a static jit argument)."""
+    if options.kernel == "auto":
+        k = diffraction.resolve_kernel_for_target(
+            "auto", options.target_residual)
+        options = dataclasses.replace(options, kernel=k)
+    return options
 
 
 _run_cg_jit = jax.jit(run_impl, static_argnums=(0, 1))
