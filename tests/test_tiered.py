@@ -64,7 +64,8 @@ def test_reconstruct_tier_chaining(problem):
     # at its floor, then a deep tier that finishes the job
     tiers = (("xla", 2e-1, 32), ("xla", 0.0, 64))
     psi, prb_out, stages = reconstruct(data, psi0, scan, prb, GEOM,
-                                       target_residual=1e-1, tiers=tiers)
+                                       target_residual=1e-1, tiers=tiers,
+                                       method="tiers")
     assert [k for k, _ in stages] == ["xla", "xla"]
     k0 = int(stages[0][1]["iters_run"])
     k1 = int(stages[1][1]["iters_run"])
@@ -73,10 +74,56 @@ def test_reconstruct_tier_chaining(problem):
     assert k0 <= 32 and k1 <= 64
     # a shallow target runs the first tier only
     _, _, st2 = reconstruct(data, psi0, scan, prb, GEOM,
-                            target_residual=3e-1, tiers=tiers)
+                            target_residual=3e-1, tiers=tiers,
+                            method="tiers")
     assert len(st2) == 1
     with pytest.raises(ValueError, match="target_residual"):
         reconstruct(data, psi0, scan, prb, GEOM, target_residual=0)
+
+
+def test_split_operator_matches_direct(problem):
+    """CG on a correction delta with f_base == G(psi_base) must track CG
+    started directly from psi_base (linearity of the forward model)."""
+    psi_true, scan, prb, data, psi0 = problem
+    from tikejax.ops.diffraction import fwd_raw
+
+    psi_b, _, _ = run(data, psi0, scan, prb, GEOM, piter=12)
+    _, _, m_direct = run(data, psi_b, scan, prb, GEOM, piter=10)
+    f_base = fwd_raw(psi_b, scan, prb, GEOM.ndet, "xla")
+    delta0 = jnp.zeros_like(psi_b)
+    delta, _, m_split = run(data, delta0, scan, prb, GEOM, piter=10,
+                            f_base=f_base)
+    np.testing.assert_allclose(np.asarray(m_direct["minf"]),
+                               np.asarray(m_split["minf"]), rtol=1e-4)
+
+
+def test_split_operator_validation(problem):
+    psi_true, scan, prb, data, psi0 = problem
+    from tikejax.ops.diffraction import fwd_raw
+
+    f_base = fwd_raw(psi0, scan, prb, GEOM.ndet, "xla")
+    with pytest.raises(ValueError, match="split-operator"):
+        run(data, psi0, scan, prb, GEOM, piter=2, f_base=f_base,
+            nchunks=4)
+    with pytest.raises(ValueError, match="split-operator"):
+        run(data, psi0, scan, prb, GEOM, piter=2, f_base=f_base,
+            recover_prb=True)
+
+
+def test_reconstruct_split_method(problem):
+    psi_true, scan, prb, data, psi0 = problem
+    psi, _, stages = reconstruct(data, psi0, scan, prb, GEOM,
+                                 target_residual=1e-4, segment=64,
+                                 max_segments=12,
+                                 tiers=(("xla", 5e-3, 96),))
+    names = [n for n, _ in stages]
+    assert names[0] == "xla" and all(n == "split:xla" for n in names[1:])
+    last = stages[-1][1]
+    k = int(last["iters_run"])
+    assert np.asarray(last["residual"])[max(k - 1, 0)] <= 1e-4
+    with pytest.raises(ValueError, match="method"):
+        reconstruct(data, psi0, scan, prb, GEOM, target_residual=1e-4,
+                    method="bogus")
 
 
 def test_auto_kernel_resolves_by_target(monkeypatch):

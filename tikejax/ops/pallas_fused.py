@@ -126,8 +126,12 @@ def _idft2(gr, gi, fr, fi, prec):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, pre, pim, bre, bim,
-                ore, oim):
+def _fwd_kernel(P, nmodes, nprb, prec, has_base, sy, sx, fr, fi, pre, pim,
+                bre, bim, *rest):
+    if has_base:
+        zre, zim, ore, oim = rest
+    else:
+        ore, oim = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     for p in range(P):
@@ -141,13 +145,23 @@ def _fwd_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, pre, pim, bre, bim,
             nr = ar * br - ai * bi
             ni = ar * bi + ai * br
             rr, ri = _dft2(nr, ni, fr[...], fi[...], prec)
+            if has_base:
+                # Split-operator epilogue: add the frozen base farplane
+                # in VMEM, saving the separate XLA add pass (farplane-
+                # sized read+read+write of HBM per CG iteration).
+                rr = rr + zre[0, p, m]
+                ri = ri + zim[0, p, m]
             ore[0, p, m] = rr
             oim[0, p, m] = ri
 
 
 def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
-        ndet: int, precision=None) -> jax.Array:
+        ndet: int, precision=None, base: jax.Array | None = None
+        ) -> jax.Array:
     """Fused forward: farplane[t,s,m] = DFT2(pad(psi[patch(s)] * prb[m])).
+
+    With ``base`` (same shape as the output), returns DFT2(...) + base,
+    fused into the same pass (split-operator refinement epilogue).
 
     Returns ``(ntheta, nscan, nmodes, ndet, ndet)`` complex64.
     """
@@ -164,25 +178,28 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     wh, ww = _window_hw(nprb)
     hz, wn = nz + wh - nprb, n + ww - nprb
 
+    frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                              lambda i, j, *_: (i, j, 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, nmodes, nprb, nprb),
+                     lambda i, j, *_: (i, 0, 0, 0)),
+        pl.BlockSpec((1, nmodes, nprb, nprb),
+                     lambda i, j, *_: (i, 0, 0, 0)),
+    ]
+    args = [sy, sx, fr, fi, pre, pim, bre, bim]
+    if base is not None:
+        zre, zim = (_pad_axis1(a, s_pad) for a in _split_c64(base))
+        in_specs += [frame_spec, frame_spec]
+        args += [zre, zim]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=[frame_spec, frame_spec],
     )
     out_shape = [
         jax.ShapeDtypeStruct((t, s_pad, nmodes, ndet, ndet), jnp.float32),
@@ -190,11 +207,11 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     ]
     ore, oim = pl.pallas_call(
         functools.partial(_fwd_kernel, P, nmodes, nprb,
-                          precision or PRECISION),
+                          precision or PRECISION, base is not None),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(sy, sx, fr, fi, pre, pim, bre, bim)
+    )(*args)
     return lax.complex(ore, oim)[:, :s]
 
 

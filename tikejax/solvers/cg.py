@@ -196,7 +196,7 @@ class _Engine:
     configuration (shapes, model name, chunking) resolved at trace time.
     """
 
-    def __init__(self, g: Geometry, o: CGOptions):
+    def __init__(self, g: Geometry, o: CGOptions, f_base=None):
         if g.nscan % o.nchunks != 0:
             raise ValueError(
                 f"nchunks ({o.nchunks}) must divide nscan ({g.nscan})")
@@ -220,11 +220,45 @@ class _Engine:
         self.frameless = (o.memory == "frameless" or
                           (o.memory == "auto" and
                            farplane_bytes > 4 * 1024**3))
+        # Split-operator refinement mode (mixed precision): psi is a small
+        # correction delta on top of a frozen base whose farplane f_base
+        # was computed ONCE with an accurate kernel. The per-iteration
+        # operator errors then scale with ||delta||, so the fast 'fused'
+        # tier drives residuals far below its own standalone floor.
+        self.f_base = f_base
+        if f_base is not None:
+            if o.nchunks != 1 or self.frameless:
+                raise ValueError("split-operator mode (f_base) requires "
+                                 "nchunks=1 and a materialized farplane")
+            if o.recover_prb:
+                raise ValueError("split-operator mode (f_base) does not "
+                                 "support joint probe recovery; rebase "
+                                 "the probe between segments instead")
 
     # -- operator shorthands ------------------------------------------------
 
     def _fwd(self, psi, scan, prb):
         return diffraction.fwd_raw(psi, scan, prb, self.g.ndet, self.o.kernel)
+
+    def _fwd_obj(self, psi, scan, prb):
+        """Farplane of the OBJECT estimate: G psi, plus the frozen base
+        farplane in split-operator mode (direction farplanes stay _fwd:
+        the operator is linear, only the object carries the offset). On
+        the fused paths the base add is an in-kernel epilogue (no extra
+        HBM pass)."""
+        if self.f_base is None:
+            return self._fwd(psi, scan, prb)
+        resolved = diffraction.resolve_kernel(self.o.kernel)
+        if resolved.startswith("fused"):
+            from tikejax.ops import pallas_fused
+            from tikejax.ops import patches as _patches
+
+            scan_i = _patches.scan_to_int(scan)
+            return pallas_fused.fwd(
+                psi, scan_i, prb, self.g.ndet,
+                precision=diffraction._fused_precision(resolved),
+                base=self.f_base)
+        return self._fwd(psi, scan, prb) + self.f_base
 
     def _adj(self, farp, scan, prb):
         return diffraction.adj_raw(farp, scan, prb, self.g.nz, self.g.n,
@@ -277,7 +311,7 @@ class _Engine:
                 else:
                     # Materialize G(psi) once (reused by the line-search
                     # statistics pass), then the fused gradient tail.
-                    fpsi = self._fwd(psi, scan, prb)
+                    fpsi = self._fwd_obj(psi, scan, prb)
                     gpsi, f0 = pallas_fused.adj_residual(
                         fpsi, data, scan_i, prb, self.g.nz, self.g.n,
                         o.model, precision=prec)
@@ -294,7 +328,7 @@ class _Engine:
                     precision=diffraction._fused_precision(
                         diffraction.resolve_kernel(o.kernel)))
             else:
-                fpsi = self._fwd(psi, scan, prb)
+                fpsi = self._fwd_obj(psi, scan, prb)
                 f0 = self.minf_fn(fpsi, data)
                 resid = self.resid_fn(fpsi, data)
                 if want_psi:
@@ -352,11 +386,14 @@ class _Engine:
         assert (dpsi is None) != (dprb is None)
 
         def fwd_pair(sc):
-            fp = self._fwd(psi, sc, prb)
+            fp = self._fwd_obj(psi, sc, prb)
             fd = (self._fwd(dpsi, sc, prb)
                   if dpsi is not None else self._fwd(psi, sc, dprb))
             return fp, fd
 
+        if self.f_base is not None and fpsi is None:
+            raise ValueError("split-operator mode requires the "
+                             "materialized object farplane from grad_pass")
         if o.nchunks == 1:
             resolved = diffraction.resolve_kernel(o.kernel)
             if resolved.startswith("fused"):
@@ -383,7 +420,8 @@ class _Engine:
                     a, b, c = pallas_fused.fwd_quad_stats(
                         psi, scan_i, dprb, fpsi, precision=prec)
             else:
-                fp = fpsi if fpsi is not None else self._fwd(psi, scan, prb)
+                fp = (fpsi if fpsi is not None
+                      else self._fwd_obj(psi, scan, prb))
                 fd = (self._fwd(dpsi, scan, prb)
                       if dpsi is not None else self._fwd(psi, scan, dprb))
                 a, b, c = _quad_stats(fp, fd)
@@ -562,13 +600,16 @@ def _precondition_prb_illum(gprb, psi, scan_int, axis_name):
     return gprb / jnp.maximum(seen, floor)[:, None].astype(gprb.dtype)
 
 
-def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
+def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
+             f_base=None):
     """Unjitted CG loop body. Called under jit by :func:`run`, or inside
     ``shard_map`` by :mod:`tikejax.parallel` (which sets options.axis_name
-    and passes the per-shard geometry)."""
+    and passes the per-shard geometry). With ``f_base`` set, psi0 is a
+    small correction on a frozen base object whose (accurately computed)
+    farplane is ``f_base`` -- see _Engine and solvers.tiered."""
     from tikejax.ops import patches as _patches
 
-    eng = _Engine(geometry, options)
+    eng = _Engine(geometry, options, f_base)
     o = options
     real_dtype = np.empty(0, dtype=np.result_type(psi0.dtype)).real.dtype
 
@@ -608,7 +649,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
         gpsi = precond_psi(gpsi, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
         if eng.use_fused_linesearch():
-            fp = fpsi if fpsi is not None else eng._fwd(psi, scan, prb)
+            fp = fpsi if fpsi is not None else eng._fwd_obj(psi, scan, prb)
             fd = eng._fwd(d_psi, scan, prb)
             gamma = eng.line_search_all(fp, fd, data, f0, real_dtype,
                                         gam_prev)
@@ -690,7 +731,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0):
 
 
 def run(data, psi0, scan, prb0, geometry: Geometry,
-        options: CGOptions | None = None, **kw):
+        options: CGOptions | None = None, f_base=None, **kw):
     """Reconstruct object (and optionally probe) from measured intensities.
 
     The TPU-native counterpart of the reference's
@@ -716,7 +757,7 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     elif kw:
         options = dataclasses.replace(options, **kw)
     options = normalize_options(options)
-    return _run_cg_jit(geometry, options, data, psi0, scan, prb0)
+    return _run_cg_jit(geometry, options, data, psi0, scan, prb0, f_base)
 
 
 def normalize_options(options: CGOptions) -> CGOptions:

@@ -1,27 +1,39 @@
-"""Tiered-precision reconstruction: time-to-deep-residual as a feature.
+"""Deep-residual reconstruction drivers: time-to-target as a feature.
 
-The fused MXU-DFT kernels come in three accuracy tiers (ops/diffraction):
-'fused' (fastest, residual floor ~2e-3), 'fused_mp' (~3e-5 floor, ~half
-rate), 'fused_hp' (fp32-floor, ~quarter rate). Chasing a deep residual
-with a single tier wastes either accuracy (floor too high) or speed
-(expensive iterations while still far from the floor). ``reconstruct``
-chains the tiers: each runs with an early-exit ``target_residual`` just
-above its floor and hands (psi, prb) to the next.
+Two mechanisms compose here (this is the machinery behind the driver
+metric "time-to-1e-6 residual", BASELINE.json:2; numbers in BASELINE.md):
 
-Crucially there are NO host round-trips between tiers: each tier is one
-jitted program with an on-device stop condition, and the tiers chain as
-async dispatches -- the host never reads back until the caller does.
-This is the driver-metric machinery for "time-to-1e-6 residual"
-(BASELINE.json:2); measured numbers live in BASELINE.md.
+1. **Kernel-tier chaining** (:func:`reconstruct` with
+   ``method='tiers'``): the fused MXU-DFT kernels come in three accuracy
+   tiers (ops/diffraction) -- 'fused' (fastest, residual floor ~2e-3),
+   'fused_mp' (~3e-5 floor, ~half rate), 'fused_hp' (fp32-floor,
+   ~quarter rate). Each tier runs with an early-exit ``target_residual``
+   just above its floor and hands (psi, prb) to the next.
+
+2. **Split-operator refinement** (default, ``method='split'``): after
+   the fast tier reaches its floor, freeze the object as a base, compute
+   its farplane ONCE with the accurate tier, and run CG on the small
+   correction ``delta`` with the FAST kernels (cg.run's ``f_base``).
+   Operator error scales with ``||delta||``, so the fast tier sustains
+   hp-level accuracy at ~3.6x the iteration rate; the base is re-frozen
+   between segments. This is how mixed precision is supposed to work on
+   the MXU: full precision only where the magnitude lives.
+
+Tier boundaries are async dispatches (no host round-trip); split
+segments read back one int32 (iters_run) to decide termination.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
+import jax.numpy as jnp
+
 from tikejax.geometry import Geometry
 from tikejax.ops import diffraction
 from tikejax.solvers import cg as _cg
+from tikejax.utils import hostio
 
 # (kernel, exit-residual floor, default max iterations) per tier. The
 # exit floors sit above each tier's measured convergence floor so a tier
@@ -33,34 +45,44 @@ DEFAULT_TIERS = (
 )
 
 
+_fwd_jit = jax.jit(diffraction.fwd_raw, static_argnums=(3, 4))
+
+
 def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                 target_residual: float = 1e-6,
-                tiers=DEFAULT_TIERS,
+                tiers=DEFAULT_TIERS, method: str = "split",
+                segment: int = 512, max_segments: int = 24,
+                base_kernel: str | None = None,
+                fast_kernel: str | None = None,
                 options: _cg.CGOptions | None = None, **kw):
-    """Reconstruct to a target relative residual via kernel-tier chaining.
+    """Reconstruct to a target relative residual.
 
     Args:
       target_residual: relative amplitude residual sqrt(minf / sum(data))
-        to stop at. Tiers whose floor is already below the target are the
-        last to run; shallower targets skip the expensive tiers entirely.
-      tiers: sequence of (kernel, exit_floor, max_piter); a tier runs
-        with target max(target_residual, exit_floor) and at most
-        max_piter iterations, then hands off. Unreachable targets simply
-        exhaust the last tier's budget.
+        to stop at.
+      method: 'split' (default; fast tier to its floor, then
+        split-operator refinement at fast-tier speed) or 'tiers'
+        (escalate through the accuracy tiers).
+      tiers: for method='tiers': sequence of (kernel, exit_floor,
+        max_piter). Unreachable targets simply exhaust the last tier's
+        budget.
+      segment / max_segments: split-mode refinement segment length (CG
+        iterations between base re-freezes) and budget.
+      base_kernel / fast_kernel: split-mode kernels (defaults:
+        fused_hp / fused on TPU, the XLA oracle elsewhere).
       options / kw: base CGOptions (piter/kernel/target_residual are
-        overridden per tier; everything else -- model, recover_prb,
-        linesearch, nchunks, memory -- applies to every tier).
-        Measured note: the 'parabolic' line search HURTS deep-tail
-        convergence on the headline config (8.6e-5 vs 1.7e-5 at 512
-        fused_hp iterations -- the vertex fit chases objective noise
-        once f(gamma) flattens), so tiers keep the caller's linesearch
-        (default backtracking).
+        overridden per stage; everything else -- model, nchunks, memory,
+        linesearch -- applies where compatible). Measured note: the
+        'parabolic' line search HURTS deep-tail convergence (8.6e-5 vs
+        1.7e-5 at 512 fused_hp iterations -- the vertex fit chases
+        objective noise once f(gamma) flattens); keep the default.
+        Split mode is object-only (recover_prb must be False).
 
     Returns:
-      (psi, prb, stages) where stages is a list of (kernel, metrics) per
-      executed tier; metrics['iters_run'] holds each tier's actual
-      iteration count (device scalar). No host synchronisation happens
-      inside this function.
+      (psi, prb, stages): stages is a list of (stage_name, metrics);
+      metrics['iters_run'] holds each stage's actual iteration count.
+      method='tiers' performs no host synchronisation; method='split'
+      reads back one scalar per refinement segment.
     """
     if options is None:
         options = _cg.CGOptions(**kw)
@@ -69,6 +91,12 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
     if target_residual <= 0:
         raise ValueError("target_residual must be > 0; for fixed-count "
                          "runs use tikejax.solvers.run")
+    if method not in ("split", "tiers"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "split":
+        return _reconstruct_split(data, psi0, scan, prb0, geometry,
+                                  target_residual, segment, max_segments,
+                                  base_kernel, fast_kernel, options, tiers)
 
     psi, prb = psi0, prb0
     stages = []
@@ -91,4 +119,48 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
             remaining -= seg
         if floor <= target_residual:
             break  # this tier could reach the target; we're done
+    return psi, prb, stages
+
+
+def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
+                       max_segments, base_kernel, fast_kernel, options,
+                       tiers):
+    """Fast tier to its floor, then split-operator refinement segments."""
+    if options.recover_prb:
+        raise ValueError("method='split' is object-only; run joint "
+                         "recovery first, then refine the object")
+    on_tpu = jax.default_backend() == "tpu"
+    fast = fast_kernel or ("fused" if on_tpu else "xla")
+    base = base_kernel or ("fused_hp" if on_tpu else "xla")
+    floor = tiers[0][1] if tiers else diffraction.FUSED_RESIDUAL_FLOOR
+    stages = []
+
+    # Stage 1: plain CG on the fast tier down to its reliable floor.
+    opts1 = dataclasses.replace(options, kernel=fast,
+                                piter=tiers[0][2] if tiers else 256,
+                                target_residual=max(target, floor))
+    psi, prb, m = _cg.run(data, psi0, scan, prb, g, opts1)
+    stages.append((fast, m))
+    if target >= floor:
+        return psi, prb, stages
+
+    # Stage 2: split-operator refinement. The base farplane is computed
+    # once per segment with the accurate tier; CG then runs on the small
+    # correction delta with the fast kernels (errors scale with delta).
+    opts2 = dataclasses.replace(options, kernel=fast, piter=segment,
+                                target_residual=target,
+                                memory="materialized", nchunks=1)
+    # All device work stays jitted: eager complex constants / arithmetic
+    # are unimplemented or pathologically slow on some TPU transports
+    # (tikejax.utils.hostio).
+    add = jax.jit(jnp.add)
+    for _ in range(max_segments):
+        f_base = _fwd_jit(psi, scan, prb, g.ndet, base)
+        delta0 = hostio.czeros(g.psi_shape, psi.dtype)
+        delta, _, m = _cg.run(data, delta0, scan, prb, g, opts2,
+                              f_base=f_base)
+        psi = add(psi, delta)
+        stages.append((f"split:{fast}", m))
+        if int(hostio.to_host(m["iters_run"])) < segment:
+            break  # on-device early exit fired: target reached
     return psi, prb, stages
