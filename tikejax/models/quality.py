@@ -14,16 +14,20 @@ synthetic-data golden tests.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
+
+from tikejax.utils import hostio
 
 
 def _aligned_rel_error(a, b):
     """||c*a - b|| / ||b|| minimised over the complex scale c (the
-    least-squares alignment c = <a, b> / <a, a>)."""
-    a = a.ravel()
-    b = b.ravel()
-    c = jnp.vdot(a, b) / jnp.maximum(jnp.real(jnp.vdot(a, a)), 1e-32)
-    return float(jnp.linalg.norm(c * a - b) / jnp.linalg.norm(b))
+    least-squares alignment c = <a, b> / <a, a>). Computed in numpy on
+    the host: metrics are tiny, and eager complex device ops are
+    unimplemented on some TPU transports (tikejax.utils.hostio)."""
+    a = np.asarray(hostio.to_host(a)).ravel()
+    b = np.asarray(hostio.to_host(b)).ravel()
+    c = np.vdot(a, b) / max(float(np.real(np.vdot(a, a))), 1e-32)
+    return float(np.linalg.norm(c * a - b) / np.linalg.norm(b))
 
 
 def relative_object_error(psi, psi_true, border_frac: float = 0.125):

@@ -728,94 +728,96 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)
 
 
-# ---------------------------------------------------------------------------
-# Quadratic line-search statistics with BOTH farplanes computed in-kernel.
-# ---------------------------------------------------------------------------
-
-
-def _quad2_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, o1re, o1im, o2re,
-                  o2im, b1re, b1im, b2re, b2im, oa, ob, oc):
+def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
+                 pre, pim, dat, bre, bim, fsum):
     i = pl.program_id(0)
     j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        fsum[0, 0] = jnp.float32(0.0)
+
+    minf_acc = jnp.zeros((), jnp.float32)
     for p in range(P):
-        y = sy[i, j * P + p]
-        x = sx[i, j * P + p]
-        a1r = _load_patch(o1re, y, x, nprb)
-        a1i = _load_patch(o1im, y, x, nprb)
-        a2r = _load_patch(o2re, y, x, nprb)
-        a2i = _load_patch(o2im, y, x, nprb)
-        a = jnp.zeros((oa.shape[-2], oa.shape[-1]), jnp.float32)
-        b = jnp.zeros_like(a)
-        c = jnp.zeros_like(a)
+        idx = j * P + p
+        y = sy[i, idx]
+        x = sx[i, idx]
+        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
+                          jnp.float32(0.0))
+        ar = _load_patch(pre, y, x, nprb)
+        ai = _load_patch(pim, y, x, nprb)
+        intensity = jnp.zeros((dat.shape[-2], dat.shape[-1]), jnp.float32)
         for m in range(nmodes):
-            n1r = a1r * b1re[0, m] - a1i * b1im[0, m]
-            n1i = a1r * b1im[0, m] + a1i * b1re[0, m]
-            f1r, f1i = _dft2(n1r, n1i, fr[...], fi[...], prec)
-            n2r = a2r * b2re[0, m] - a2i * b2im[0, m]
-            n2i = a2r * b2im[0, m] + a2i * b2re[0, m]
-            f2r, f2i = _dft2(n2r, n2i, fr[...], fi[...], prec)
-            a = a + f1r * f1r + f1i * f1i
-            b = b + f1r * f2r + f1i * f2i
-            c = c + f2r * f2r + f2i * f2i
-        oa[0, p] = a
-        ob[0, p] = b
-        oc[0, p] = c
+            br = bre[0, m]
+            bi = bim[0, m]
+            nr = ar * br - ai * bi
+            ni = ar * bi + ai * br
+            gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
+            intensity = intensity + gr_ * gr_ + gi_ * gi_
+        d = jnp.maximum(dat[0, p], 0.0)
+        if model == "gaussian":
+            minf_acc = minf_acc + valid * jnp.sum(
+                (jnp.sqrt(intensity + 1e-12) - jnp.sqrt(d)) ** 2)
+        else:  # poisson
+            minf_acc = minf_acc + valid * jnp.sum(
+                intensity - d * jnp.log(intensity + 1e-8))
+    fsum[0, 0] += minf_acc
 
 
-def quad2_stats(obj1: jax.Array, prb1: jax.Array, obj2: jax.Array,
-                prb2: jax.Array, scan_int: jax.Array, ndet: int,
-                precision=None):
-    """Line-search statistics for two forward fields computed entirely
-    in-kernel: f1 = G(obj1; prb1), f2 = G(obj2; prb2), returning
+def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
+               prb: jax.Array, ndet: int, model: str, precision=None):
+    """Objective evaluation with NOTHING farplane-sized in HBM: every
+    frame is produced by the MXU DFT in VMEM and reduced into the SMEM
+    accumulator on the spot. This is the fully-frameless line-search
+    evaluator: at 64k positions x 128^2 even the (a, b, c) quadratic
+    statistics would be 13 GB, so backtracking re-evaluates the forward
+    model per step instead (FLOPs are the cheap currency here).
 
-        a = sum_m |f1|^2, b = sum_m Re(conj(f1) f2), c = sum_m |f2|^2.
-
-    Object step: (psi, prb, d_psi, prb). Probe step: (psi, prb, psi,
-    d_prb). Neither farplane touches HBM.
+    Returns minf ``()`` float32.
     """
-    t, nz, n = obj1.shape
-    _, nmodes, nprb, _ = prb1.shape
+    t, nz, n = psi.shape
+    _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
-    o1re, o1im = (_pad_object(x, nprb) for x in _split_c64(obj1))
-    o2re, o2im = (_pad_object(x, nprb) for x in _split_c64(obj2))
-    b1re, b1im = _split_c64(prb1)
-    b2re, b2im = _split_c64(prb2)
+    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    dat = _pad_axis1(data.astype(jnp.float32), s_pad)
+    bre, bim = _split_c64(prb)
     fr, fi = _dft_factors(ndet, nprb)
     wh, ww = _window_hw(nprb)
     hz, wn = nz + wh - nprb, n + ww - nprb
 
-    obj_spec = pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0))
-    prb_spec = pl.BlockSpec((1, nmodes, nprb, nprb),
-                            lambda i, j, *_: (i, 0, 0, 0))
-    stat_spec = pl.BlockSpec((1, P, ndet, ndet),
-                             lambda i, j, *_: (i, j, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
         in_specs=[
             pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
             pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            obj_spec, obj_spec, obj_spec, obj_spec,
-            prb_spec, prb_spec, prb_spec, prb_spec,
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, P, ndet, ndet),
+                         lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nmodes, nprb, nprb),
+                         lambda i, j, *_: (i, 0, 0, 0)),
         ],
-        out_specs=[stat_spec, stat_spec, stat_spec],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((t, s_pad, ndet, ndet), jnp.float32)
-        for _ in range(3)
-    ]
-    oa, ob, oc = pl.pallas_call(
-        functools.partial(_quad2_kernel, P, nmodes, nprb,
-                          precision or PRECISION),
+    out_shape = [jax.ShapeDtypeStruct((t, 1), jnp.float32)]
+    (fsum,) = pl.pallas_call(
+        functools.partial(_minf_kernel, P, nmodes, nprb, model,
+                          precision or PRECISION, s),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(sy, sx, fr, fi, o1re, o1im, o2re, o2im, b1re, b1im, b2re, b2im)
-    return oa[:, :s], ob[:, :s], oc[:, :s]
+    )(sy, sx, fr, fi, pre, pim, dat, bre, bim)
+    return jnp.sum(fsum)
 
 
 # ---------------------------------------------------------------------------

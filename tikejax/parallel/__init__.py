@@ -1,5 +1,7 @@
 """Parallel execution over TPU meshes (shard_map + XLA collectives)."""
 
 from tikejax.parallel.sharding import make_mesh, run_sharded, shard_problem
+from tikejax.parallel.tiling import make_obj_mesh, run_tiled
 
-__all__ = ["make_mesh", "run_sharded", "shard_problem"]
+__all__ = ["make_mesh", "run_sharded", "shard_problem", "make_obj_mesh",
+           "run_tiled"]

@@ -66,6 +66,32 @@ def run_dryrun(n_devices: int) -> None:
     assert psi.shape == g.psi_shape
     assert bool(jnp.isfinite(metrics["minf"][0]))
 
+    if n_devices >= 2:
+        # P3 object-domain tiling: one step on a 2-slab ('obj',) mesh
+        # (halo ppermute exchange + owner-partitioned positions).
+        import numpy as np
+
+        from tikejax.parallel import make_obj_mesh, run_tiled
+
+        g3 = Geometry(nz=64, n=64, nscan=16, ndet=16, nprb=12)
+        psi3, _, prb3, _ = make_problem(jax.random.PRNGKey(1), g3)
+        # balanced grid: equal positions per slab (tiling requirement)
+        ys = np.concatenate([np.linspace(0, 31, 4),
+                             np.linspace(32, 52, 4)])
+        xs = np.linspace(0, 52, 2)
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        scan3 = jnp.asarray(
+            np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float32)
+        )[None]
+        from tikejax.models import simulate_intensities
+
+        data3 = simulate_intensities(psi3, scan3, prb3, g3.ndet)
+        psi_t, _, m3 = run_tiled(data3, cones(g3.psi_shape), scan3, prb3,
+                                 g3, make_obj_mesh(2), piter=1)
+        jax.block_until_ready((psi_t, m3))
+        assert psi_t.shape == g3.psi_shape
+        assert bool(jnp.isfinite(m3["minf"][0]))
+
 
 def main(n_devices: int) -> None:
     """Subprocess entry: pin the CPU platform, then run the dry run."""

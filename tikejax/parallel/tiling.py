@@ -1,0 +1,169 @@
+"""P3 object-domain tiling: shard the object grid with halo exchange.
+
+The stretch parallelism axis from SURVEY.md SS5: when the object
+outgrows one chip's HBM (giant fields of view), shard its ROW axis into
+equal slabs over a 1-D ('obj',) mesh. Each device holds its owned rows
+plus ``nprb - 1`` halo rows below (the probe-window overlap into the
+next slab) and the scan positions whose window TOP row falls in its
+slab; the full object never exists on any one device during the
+reconstruction. Per CG iteration the only collectives are
+
+* two halo ``ppermute``s of an (ntheta, nprb-1, n) strip (adjoint halo
+  reduce + refresh -- see cg._halo_fix), and
+* the scalar psums of the objective / line-search / Dai-Yuan
+  statistics,
+
+so communication is O(n * nprb) per step while compute is O(nscan/D *
+ndet^2 * nprb) -- the surface-to-volume ratio that makes domain tiling
+scale. The fused Pallas kernels run unchanged on each local slab.
+
+Restrictions (v1): positions must split EQUALLY across slabs (static
+shapes; raster-style scans satisfy this -- `partition_problem` validates
+and reports the counts otherwise), object rows must divide by the slab
+count, and `nscan` chunking/frameless memory work as usual per slab.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tikejax.geometry import Geometry
+from tikejax.solvers import cg as _cg
+from tikejax.utils import hostio
+
+
+def make_obj_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D ('obj',) mesh for object-domain tiling."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("obj",))
+
+
+def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int):
+    """Host-side owner partition of a tiling problem.
+
+    Returns ``(psi_slabs, scan_loc, data_p, owned)`` where
+    ``psi_slabs (D, t, owned + halo, n)`` are the extended object slabs
+    (halo rows replicate the next slab's top rows; the last slab's halo
+    is zero), ``scan_loc (D, t, nscan/D, 2)`` are slab-local (y, x)
+    positions sorted by owner, and ``data_p`` the matching frames.
+
+    Raises ValueError when rows or positions don't split equally.
+    """
+    g = geometry
+    D = n_slabs
+    if g.nz % D != 0:
+        raise ValueError(f"object rows ({g.nz}) must divide by the slab "
+                         f"count ({D})")
+    owned = g.nz // D
+    halo = g.nprb - 1
+    if owned < halo:
+        raise ValueError(
+            f"slab height ({owned}) must be >= nprb - 1 ({halo}): probe "
+            "windows may only overlap into the immediate next slab")
+
+    psi0 = np.asarray(hostio.to_host(psi0))
+    scan = np.asarray(hostio.to_host(scan), np.float32)
+    data = np.asarray(hostio.to_host(data), np.float32)
+
+    # Owner of a position = slab containing its window's top row.
+    y_int = np.floor(scan[..., 0]).astype(np.int64)
+    if (y_int < 0).any() or (y_int > g.nz - g.nprb).any():
+        raise ValueError("scan positions out of bounds; run "
+                         "tikejax.models.check_scan first")
+    owner = y_int // owned  # (t, s)
+
+    s_loc = g.nscan // D
+    counts = np.stack([(owner == d).sum(axis=1) for d in range(D)])
+    if g.nscan % D != 0 or (counts != s_loc).any():
+        raise ValueError(
+            "positions must split equally across slabs for tiling "
+            f"(expected {g.nscan // D} per slab, got per-(slab, theta) "
+            f"counts {counts.tolist()}); re-grid the scan or use "
+            "position sharding (tikejax.parallel.run_sharded) instead")
+
+    scan_loc = np.empty((D, g.ntheta, s_loc, 2), np.float32)
+    data_p = np.empty((D, g.ntheta, s_loc, g.ndet, g.ndet), np.float32)
+    for d in range(D):
+        for t in range(g.ntheta):
+            idx = np.nonzero(owner[t] == d)[0]
+            sc = scan[t, idx].copy()
+            sc[:, 0] -= d * owned  # slab-local rows
+            scan_loc[d, t] = sc
+            data_p[d, t] = data[t, idx]
+
+    psi_slabs = np.zeros((D, g.ntheta, owned + halo, g.n), psi0.dtype)
+    for d in range(D):
+        lo = d * owned
+        hi = min(lo + owned + halo, g.nz)
+        psi_slabs[d, :, :hi - lo] = psi0[:, lo:hi]
+    return psi_slabs, scan_loc, data_p, owned
+
+
+def stitch(psi_slabs, owned: int):
+    """(D, t, owned + halo, n) slabs -> (t, D * owned, n) full object."""
+    ownedv = psi_slabs[:, :, :owned]
+    return jnp.transpose(ownedv, (1, 0, 2, 3)).reshape(
+        ownedv.shape[1], -1, ownedv.shape[3])
+
+
+def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
+              options: _cg.CGOptions | None = None, **kw):
+    """Object-tiled CG reconstruction (SURVEY.md SS5 P3).
+
+    Semantics match :func:`tikejax.solvers.run` exactly (up to float
+    summation order): the object rows and the scan positions are
+    partitioned over the mesh's 'obj' axis, the full object never lives
+    on one device, and the result is stitched back for the caller.
+
+    Args:
+      data / psi0 / scan / prb0: FULL problem arrays (host or device);
+        partitioning happens here.
+      mesh: 1-D mesh whose axis tiles the object (make_obj_mesh).
+
+    Returns:
+      (psi, prb, metrics) with psi the stitched (ntheta, nz, n) object.
+    """
+    if options is None:
+        options = _cg.CGOptions(**kw)
+    elif kw:
+        options = dataclasses.replace(options, **kw)
+    options = _cg.normalize_options(options)
+    g = geometry
+    axis = mesh.axis_names[0]
+    D = mesh.shape[axis]
+    psi_slabs, scan_loc, data_p, owned = partition_problem(
+        psi0, scan, data, g, D)
+    halo = g.nprb - 1
+
+    g_local = dataclasses.replace(g, nz=owned + halo,
+                                  nscan=g.nscan // D)
+    opts = dataclasses.replace(options, obj_axis_name=axis,
+                               obj_halo=halo, obj_axis_size=D)
+
+    spec = NamedSharding(mesh, P(axis))
+    psi_slabs = jax.device_put(jnp.asarray(psi_slabs), spec)
+    scan_loc = jax.device_put(jnp.asarray(scan_loc), spec)
+    data_p = jax.device_put(jnp.asarray(data_p), spec)
+
+    def body(data_l, psi_l, scan_l, prb_l):
+        psi, prb, metrics = _cg.run_impl(g_local, opts, data_l[0],
+                                         psi_l[0], scan_l[0], prb_l)
+        return psi[None], prb, metrics
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(), P()),
+        check_vma=False,
+    )
+    psi_s, prb, metrics = jax.jit(sharded)(data_p, psi_slabs, scan_loc,
+                                           prb0)
+    return jax.jit(stitch, static_argnums=1)(psi_s, owned), prb, metrics

@@ -87,6 +87,19 @@ class CGOptions:
     kernel: str = "auto"
     axis_name: str | None = None
     theta_axis_name: str | None = None
+    # Object-domain tiling (SURVEY.md SS5 P3; tikejax.parallel.tiling):
+    # obj_axis_name shards the object row axis into equal slabs, each
+    # device holding its owned rows plus obj_halo halo rows BELOW (the
+    # probe-window overlap into the next slab). Positions are owner-
+    # partitioned; the adjoint's halo rows are ppermute-reduced to their
+    # owning device and the halos refreshed every gradient pass, so all
+    # object-domain arrays stay halo-consistent. Scalars psum over the
+    # axis; object-domain inner products mask the halo rows (they
+    # duplicate the neighbour's owned rows). obj_axis_size is the static
+    # mesh-axis extent (needed for the ppermute permutations).
+    obj_axis_name: str | None = None
+    obj_halo: int = 0
+    obj_axis_size: int = 1
     verbose_every: int = 0
     # Gradient preconditioner: 'illum' divides the object gradient by the
     # probe-illumination map (and the probe gradient by the object power
@@ -142,11 +155,55 @@ def _psum(x, axis_name):
 
 def _scalar_axes(o: "CGOptions"):
     """Mesh axes over which scalar statistics are globally summed: the
-    scan axis (positions partition the data sum) and, when set, the theta
-    axis (angles partition it too)."""
-    axes = tuple(a for a in (o.theta_axis_name, o.axis_name)
+    scan axis (positions partition the data sum) plus, when set, the
+    theta axis (angles partition it too) and the object-tiling axis
+    (positions are owner-partitioned across slabs)."""
+    axes = tuple(a for a in (o.theta_axis_name, o.axis_name,
+                             o.obj_axis_name)
                  if a is not None)
     return axes if axes else None
+
+
+def _grad_prb_axes(o: "CGOptions"):
+    """Axes that partition the probe-gradient sum (probe is replicated
+    across both the scan and the object-tiling axes)."""
+    axes = tuple(a for a in (o.axis_name, o.obj_axis_name)
+                 if a is not None)
+    return axes if axes else None
+
+
+def _halo_fix(x, o: "CGOptions"):
+    """Reduce-then-refresh the object-tiling halo of a slab-sharded
+    object-domain array ``x`` (t, owned + halo, n):
+
+    1. each device's halo rows (partial sums belonging to the NEXT
+       device's top rows) are ppermute'd forward and added there;
+    2. each device's (now complete) top rows are ppermute'd backward
+       into the previous device's halo, restoring the invariant that
+       halo rows mirror the neighbour's owned rows.
+
+    The last device's halo becomes zero (it has no successor); its scan
+    windows never reach it (global bounds guarantee y_local <=
+    owned - nprb there)."""
+    axis, halo, size = o.obj_axis_name, o.obj_halo, o.obj_axis_size
+    if axis is None or halo == 0 or size <= 1:
+        return x
+    owned = x.shape[1] - halo
+    fwd_perm = [(d, d + 1) for d in range(size - 1)]
+    bwd_perm = [(d + 1, d) for d in range(size - 1)]
+    recv = lax.ppermute(x[:, owned:], axis, fwd_perm)
+    x = x.at[:, :halo].add(recv)
+    top = lax.ppermute(x[:, :halo], axis, bwd_perm)
+    return x.at[:, owned:].set(top)
+
+
+def _mask_halo(x, o: "CGOptions"):
+    """Owned-rows view of a slab-sharded object-domain array (halo rows
+    duplicate the neighbour's owned rows and must not be double-counted
+    in inner products)."""
+    if o.obj_axis_name is None or o.obj_halo == 0:
+        return x
+    return x[:, :x.shape[1] - o.obj_halo]
 
 
 def _pvary(x, axis_names):
@@ -362,14 +419,16 @@ class _Engine:
                 gpsi = None
             if not want_prb:
                 gprb = None
-        # Scalars are global sums (scan and theta axes both partition the
-        # frame sum); gradients are per-theta arrays, so they reduce over
-        # the scan axis only and stay theta-sharded.
+        # Scalars are global sums (scan/theta/obj axes all partition the
+        # frame sum); the object gradient is per-theta and per-slab, so
+        # it reduces over the scan axis and then has its tiling halo
+        # reduced+refreshed; the probe gradient is replicated, so it
+        # psums over both position-partitioning axes.
         f0 = _psum(f0, _scalar_axes(o))
         if gpsi is not None:
-            gpsi = _psum(gpsi, o.axis_name)
+            gpsi = _halo_fix(_psum(gpsi, o.axis_name), o)
         if gprb is not None:
-            gprb = _psum(gprb, o.axis_name)
+            gprb = _psum(gprb, _grad_prb_axes(o))
         return f0, gpsi, gprb, fpsi
 
     def quad_pass(self, psi, prb, scan, data, *, dpsi=None, dprb=None,
@@ -405,14 +464,28 @@ class _Engine:
                 scan_i = _patches.scan_to_int(scan)
                 prec = diffraction._fused_precision(resolved)
                 if self.frameless or fpsi is None:
+                    # Fully frameless backtracking: each objective
+                    # evaluation is ONE fused fwd+reduce pass -- nothing
+                    # farplane-sized (not even the (a, b, c) statistics,
+                    # which are 3 real farplanes: 13 GB at 64k x 128^2)
+                    # ever touches HBM. FLOPs are re-spent per halving;
+                    # frameless mode is MXU-bound by design.
                     if dpsi is not None:
-                        a, b, c = pallas_fused.quad2_stats(
-                            psi, prb, dpsi, prb, scan_i, self.g.ndet,
-                            precision=prec)
+                        def f_of(gamma):
+                            cand = psi + gamma.astype(psi.dtype) * dpsi
+                            return _psum(pallas_fused.minf_fused(
+                                cand, data, scan_i, prb, self.g.ndet,
+                                o.model, precision=prec),
+                                _scalar_axes(o))
                     else:
-                        a, b, c = pallas_fused.quad2_stats(
-                            psi, prb, psi, dprb, scan_i, self.g.ndet,
-                            precision=prec)
+                        def f_of(gamma):
+                            cand = prb + gamma.astype(prb.dtype) * dprb
+                            return _psum(pallas_fused.minf_fused(
+                                psi, data, scan_i, cand, self.g.ndet,
+                                o.model, precision=prec),
+                                _scalar_axes(o))
+
+                    return f_of
                 elif dpsi is not None:
                     a, b, c = pallas_fused.fwd_quad_stats(
                         dpsi, scan_i, prb, fpsi, precision=prec)
@@ -551,14 +624,26 @@ class _Engine:
 
     # -- Dai-Yuan direction ----------------------------------------------
 
-    def dy_direction(self, grad, grad_prev, d_prev):
+    def _dot(self, a, b, kind):
+        """Global real inner product of object- ('psi') or probe-domain
+        ('prb') arrays: object arrays may be theta-sharded and slab-
+        sharded (halo rows masked to avoid double counting); probe arrays
+        are replicated except over theta."""
+        o = self.o
+        if kind == "psi":
+            axes = tuple(ax for ax in (o.theta_axis_name, o.obj_axis_name)
+                         if ax is not None) or None
+            return _psum(_rdot(_mask_halo(a, o), _mask_halo(b, o)), axes)
+        return _psum(_rdot(a, b), o.theta_axis_name)
+
+    def dy_direction(self, grad, grad_prev, d_prev, kind="psi"):
         """d = -g + beta * d_prev, beta = ||g||^2 / <d_prev, g - g_prev>_R
         (Dai-Yuan 1999), with a zero-division guard that yields steepest
-        descent on the first iteration (d_prev = 0). Under theta sharding
-        the inner products are over the theta-sharded arrays, so they are
-        psum-ed to the global values (beta is a global scalar)."""
-        num = _psum(_rdot(grad, grad), self.o.theta_axis_name)
-        den = _psum(_rdot(d_prev, grad - grad_prev), self.o.theta_axis_name)
+        descent on the first iteration (d_prev = 0). The inner products
+        are global (psum-ed over whichever mesh axes shard the arrays),
+        so beta is a global scalar."""
+        num = self._dot(grad, grad, kind)
+        den = self._dot(d_prev, grad - grad_prev, kind)
         beta = jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
         return -grad + beta.astype(grad.dtype) * d_prev
 
@@ -573,21 +658,26 @@ def _precondition(gpsi, prb):
     return gpsi * scale[:, None, None]
 
 
-def _precondition_psi_illum(gpsi, prb, scan_int, nz, n, axis_name):
+def _precondition_psi_illum(gpsi, prb, scan_int, nz, n, o: CGOptions):
     """Pixelwise object preconditioner: divide by the probe-illumination
     map sum_k T_k(sum_m |prb_m|^2), regularised at 10% of its max (the
     classic ptychography preconditioner; far better conditioned than the
-    scalar scaling when overlap density varies)."""
+    scalar scaling when overlap density varies). Under object tiling the
+    map gets the same halo reduce+refresh as gradients and the floor is
+    the global (pmax-ed) per-angle maximum."""
     from tikejax.ops import patches as _patches
 
     power = jnp.sum(jnp.abs(prb)**2, axis=1)  # (t, nprb, nprb)
     illum = _patches.illumination_map(scan_int, power, nz, n)
-    illum = _psum(illum, axis_name)
-    floor = 0.1 * jnp.max(illum, axis=(-2, -1), keepdims=True)
+    illum = _halo_fix(_psum(illum, o.axis_name), o)
+    m = jnp.max(illum, axis=(-2, -1), keepdims=True)
+    if o.obj_axis_name is not None:
+        m = lax.pmax(m, o.obj_axis_name)
+    floor = 0.1 * m
     return gpsi / jnp.maximum(illum, floor).astype(gpsi.dtype)
 
 
-def _precondition_prb_illum(gprb, psi, scan_int, axis_name):
+def _precondition_prb_illum(gprb, psi, scan_int, o: CGOptions):
     """Pixelwise probe preconditioner: divide by the object power seen by
     each probe pixel across all positions, regularised at 10% of max."""
     from tikejax.ops import patches as _patches
@@ -595,7 +685,7 @@ def _precondition_prb_illum(gprb, psi, scan_int, axis_name):
     nprb = gprb.shape[-1]
     field_power = jnp.abs(psi)**2  # (t, nz, n)
     seen = _patches.patch_power_map(scan_int, field_power, nprb)
-    seen = _psum(seen, axis_name)
+    seen = _psum(seen, _grad_prb_axes(o))
     floor = 0.1 * jnp.max(seen, axis=(-2, -1), keepdims=True)
     return gprb / jnp.maximum(seen, floor)[:, None].astype(gprb.dtype)
 
@@ -629,14 +719,14 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
     def precond_psi(gpsi, prb):
         if o.precondition == "illum":
             return _precondition_psi_illum(gpsi, prb, scan_i, geometry.nz,
-                                           geometry.n, o.axis_name)
+                                           geometry.n, o)
         if o.precondition == "max":
             return _precondition(gpsi, prb)
         return gpsi
 
     def precond_prb(gprb, psi):
         if o.precondition == "illum":
-            return _precondition_prb_illum(gprb, psi, scan_i, o.axis_name)
+            return _precondition_prb_illum(gprb, psi, scan_i, o)
         return gprb
 
     def body(i, st):
@@ -669,7 +759,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                                                 want_psi=False,
                                                 want_prb=True)
             gprb = precond_prb(gprb, psi)
-            d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb)
+            d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb, kind="prb")
             if eng.use_fused_linesearch():
                 fp2 = (fpsi2 if fpsi2 is not None
                        else eng._fwd(psi, scan, prb))
@@ -691,8 +781,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
             "residual": metrics["residual"].at[i].set(residual),
             "gamma": metrics["gamma"].at[i].set(gamma),
             "grad_norm": metrics["grad_norm"].at[i].set(jnp.sqrt(
-                _psum(_rdot(gpsi, gpsi),
-                      o.theta_axis_name)).astype(real_dtype)),
+                eng._dot(gpsi, gpsi, "psi")).astype(real_dtype)),
             "gamma_prb": metrics["gamma_prb"].at[i].set(gamma_p),
         }
         if o.verbose_every > 0:

@@ -32,7 +32,13 @@ def _combine(re, im):
 
 
 def to_host(x) -> np.ndarray:
-    """Device array -> numpy array; complex moved as two float transfers."""
+    """Device array -> numpy array; complex moved as two float transfers.
+
+    Already-host numpy arrays pass through untouched: ``jnp.asarray`` on
+    a complex numpy array would be an eager complex UPLOAD, the exact
+    transport hazard this module exists to avoid."""
+    if isinstance(x, np.ndarray):
+        return x
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
         re, im = _split(x)
