@@ -30,32 +30,15 @@ from tikejax.utils import (cones, device_sync as sync, scalar,
 # self-contained hardness figure is hbm_utilization below.
 BASELINE_ITERS_PER_SEC_V100_EST = 40.0
 
-# v5e peak HBM bandwidth (819 GB/s per chip).
-V5E_HBM_GBPS = 819.0
 
 
-def _hbm_roofline(g: Geometry, metrics, opts, dt, piter):
-    """Achieved HBM bandwidth from a LOWER-BOUND traffic model.
+# v5e peak bf16 matmul throughput (TFLOP/s per chip).
+V5E_MXU_TFLOPS = 394.0
 
-    Guaranteed HBM passes per CG iteration on the materialized fused path
-    (nchunks=1, object/probe/scan traffic is negligible at these shapes):
-      fwd:             write farplane            (8B/px complex64)
-      adj_residual:    read farplane + data      (8B + 4B)
-      fwd_quad_stats:  read farplane, write a,b,c (8B + 3x4B)
-      backtracking:    per objective evaluation read a,b,c,data (4x4B)
-    The per-iteration evaluation count is recovered from the recorded
-    gamma trace (gamma_i = gamma0_i * shrink^k => k+1 evaluations), so
-    the model is measurement-grounded, not assumed. Omitted: compiler
-    fusion could only LOWER true traffic, so achieved/peak is a floor on
-    how close the run is to the bandwidth roofline.
-    """
-    frame_px = g.ntheta * g.nscan * g.nmodes * g.ndet * g.ndet
-    data_px = g.ntheta * g.nscan * g.ndet * g.ndet
-    fixed = (8 * frame_px            # fwd write
-             + 8 * frame_px + 4 * data_px   # adj_residual read
-             + 8 * frame_px + 12 * data_px)  # quad stats read+write
-    eval_bytes = 16 * data_px        # a,b,c,data per f(gamma)
 
+def _ls_evals(metrics, opts, piter):
+    """Per-iteration line-search evaluation count recovered from the
+    recorded gamma trace (gamma_i = gamma0_i * shrink^k => k+1 evals)."""
     gammas = to_host(metrics["gamma"])
     shrink = opts.get("step_shrink", 0.5)
     step0 = opts.get("step0", 1.0)
@@ -69,9 +52,30 @@ def _hbm_roofline(g: Geometry, metrics, opts, dt, piter):
             halvings = max(0, round(math.log(gam / gamma0, shrink)))
         evals += halvings + 1
         gamma_prev = float(gam)
-    total_bytes = piter * fixed + evals * eval_bytes
+    return evals / piter
+
+
+def _perf_model(g: Geometry, metrics, opts, dt, piter):
+    """Roofline figures for the (default) frameless fused path.
+
+    Per CG iteration: the gradient mega-kernel reads `data` once and the
+    line search re-reads it per objective evaluation -- nothing
+    farplane-sized touches HBM, so the path is MXU/overhead-bound, not
+    bandwidth-bound. (The materialized path measured 0.99 of the 819
+    GB/s HBM roofline in round 2 -- BASELINE.md; frameless beat it by
+    removing the bandwidth wall entirely.) MXU work: each frame costs
+    4*ndet*nprb*(nprb+ndet) MACs per DFT application; grad = fwd + adj
+    (2 applications), each line-search evaluation = 1.
+    """
+    data_px = g.ntheta * g.nscan * g.ndet * g.ndet
+    evals = _ls_evals(metrics, opts, piter)
+    total_bytes = piter * (1 + evals) * 4 * data_px
     gbps = total_bytes / dt / 1e9
-    return gbps, gbps / V5E_HBM_GBPS, evals / piter
+    macs_per_frame = 4 * g.ndet * g.nprb * (g.nprb + g.ndet)
+    frames = g.ntheta * g.nscan * g.nmodes
+    flops = piter * (2 + evals) * frames * macs_per_frame * 2
+    tflops = flops / dt / 1e12
+    return gbps, tflops, tflops / V5E_MXU_TFLOPS, evals
 
 
 def log(msg):
@@ -115,8 +119,8 @@ def main():
     minf0 = scalar(metrics["minf"][0])
     minf_last = scalar(metrics["minf"][-1])
     res_last = scalar(metrics["residual"][-1])
-    hbm_gbps, hbm_util, ls_evals = _hbm_roofline(g, metrics, opts, dt,
-                                                 piter)
+    hbm_gbps, mxu_tflops, mxu_util, ls_evals = _perf_model(
+        g, metrics, opts, dt, piter)
 
     # Secondary tier (VERDICT r1 #8): the deep-residual kernel. Measure
     # time-to-1e-4 relative residual with the bf16x3 middle-precision DFT
@@ -164,12 +168,13 @@ def main():
         "minf_last_iter": minf_last,
         "rel_residual_last_iter": res_last,
         "achieved_hbm_gbps": round(hbm_gbps, 1),
-        "hbm_utilization": round(hbm_util, 3),
-        "hbm_note": "lower-bound traffic model vs 819 GB/s v5e peak "
-                    "(>1.0 readings = transport timing variance, ~±6% "
-                    "run-to-run); "
-                    f"{ls_evals:.2f} line-search evals/iter from gamma "
-                    "trace",
+        "mxu_dft_tflops": round(mxu_tflops, 1),
+        "mxu_utilization": round(mxu_util, 3),
+        "roofline_note": "frameless path: nothing farplane-sized in HBM "
+                         "(MXU/overhead-bound; the materialized path "
+                         "measured 0.99 of the 819 GB/s HBM roofline); "
+                         f"{ls_evals:.2f} line-search evals/iter from "
+                         "the gamma trace",
         "fused_mp_time_to_1e-4_residual_s": t_to_1e4,
         "fused_mp_iters_per_sec": round(mp_iters / dt_mp, 2),
         "time_to_1e-6_residual_s": t_to_1e6,

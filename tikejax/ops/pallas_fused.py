@@ -612,8 +612,12 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
-                 pre, pim, dat, bre, bim, ore, oim, fsum):
+def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
+                 fr, fi, pre, pim, dat, bre, bim, *rest):
+    if has_base:
+        zre, zim, ore, oim, fsum = rest
+    else:
+        ore, oim, fsum = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -642,6 +646,11 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
             nr = ar * br - ai * bi
             ni = ar * bi + ai * br
             gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
+            if has_base:
+                # Split-operator mode: the frame is G(base) + G(delta),
+                # with the accurate base farplane read from HBM.
+                gr_ = gr_ + zre[0, p, m]
+                gi_ = gi_ + zim[0, p, m]
             frames.append((gr_, gi_))
             intensity = intensity + gr_ * gr_ + gi_ * gi_
         d = jnp.maximum(dat[0, p], 0.0)
@@ -670,9 +679,12 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
 
 
 def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
-               prb: jax.Array, ndet: int, model: str, precision=None):
+               prb: jax.Array, ndet: int, model: str, precision=None,
+               base: jax.Array | None = None):
     """Full likelihood gradient w.r.t. the object plus the objective in a
-    single kernel pass (no farplane in HBM).
+    single kernel pass (no farplane in HBM). With ``base``, the forward
+    field is G(psi) + base (split-operator refinement: psi is a small
+    correction, base the frozen accurate farplane).
 
     Returns:
       (grad_psi ``(ntheta, nz, n)`` complex64, minf ``()`` float32).
@@ -691,21 +703,28 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     wh, ww = _window_hw(nprb)
     hz, wn = nz + wh - nprb, n + ww - nprb
 
+    in_specs = [
+        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, P, ndet, ndet),
+                     lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, nmodes, nprb, nprb),
+                     lambda i, j, *_: (i, 0, 0, 0)),
+        pl.BlockSpec((1, nmodes, nprb, nprb),
+                     lambda i, j, *_: (i, 0, 0, 0)),
+    ]
+    args = [sy, sx, fr, fi, pre, pim, dat, bre, bim]
+    if base is not None:
+        frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                                  lambda i, j, *_: (i, j, 0, 0, 0))
+        in_specs += [frame_spec, frame_spec]
+        args += [_pad_axis1(a, s_pad) for a in _split_c64(base)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, P, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
@@ -720,16 +739,20 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     ]
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s),
+                          precision or PRECISION, s, base is not None),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(sy, sx, fr, fi, pre, pim, dat, bre, bim)
+    )(*args)
     return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)
 
 
-def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
-                 pre, pim, dat, bre, bim, fsum):
+def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
+                 fr, fi, pre, pim, dat, bre, bim, *rest):
+    if has_base:
+        zre, zim, fsum = rest
+    else:
+        (fsum,) = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -753,6 +776,9 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
             nr = ar * br - ai * bi
             ni = ar * bi + ai * br
             gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
+            if has_base:
+                gr_ = gr_ + zre[0, p, m]
+                gi_ = gi_ + zim[0, p, m]
             intensity = intensity + gr_ * gr_ + gi_ * gi_
         d = jnp.maximum(dat[0, p], 0.0)
         if model == "gaussian":
@@ -765,13 +791,15 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr, fi,
 
 
 def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
-               prb: jax.Array, ndet: int, model: str, precision=None):
+               prb: jax.Array, ndet: int, model: str, precision=None,
+               base: jax.Array | None = None):
     """Objective evaluation with NOTHING farplane-sized in HBM: every
     frame is produced by the MXU DFT in VMEM and reduced into the SMEM
     accumulator on the spot. This is the fully-frameless line-search
     evaluator: at 64k positions x 128^2 even the (a, b, c) quadratic
     statistics would be 13 GB, so backtracking re-evaluates the forward
-    model per step instead (FLOPs are the cheap currency here).
+    model per step instead (FLOPs are the cheap currency here). With
+    ``base``, the field is G(psi) + base (split-operator refinement).
 
     Returns minf ``()`` float32.
     """
@@ -789,21 +817,28 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     wh, ww = _window_hw(nprb)
     hz, wn = nz + wh - nprb, n + ww - nprb
 
+    in_specs = [
+        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, P, ndet, ndet),
+                     lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, nmodes, nprb, nprb),
+                     lambda i, j, *_: (i, 0, 0, 0)),
+        pl.BlockSpec((1, nmodes, nprb, nprb),
+                     lambda i, j, *_: (i, 0, 0, 0)),
+    ]
+    args = [sy, sx, fr, fi, pre, pim, dat, bre, bim]
+    if base is not None:
+        frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                                  lambda i, j, *_: (i, j, 0, 0, 0))
+        in_specs += [frame_spec, frame_spec]
+        args += [_pad_axis1(a, s_pad) for a in _split_c64(base)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, P, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.SMEM),
@@ -812,11 +847,11 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     out_shape = [jax.ShapeDtypeStruct((t, 1), jnp.float32)]
     (fsum,) = pl.pallas_call(
         functools.partial(_minf_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s),
+                          precision or PRECISION, s, base is not None),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(sy, sx, fr, fi, pre, pim, dat, bre, bim)
+    )(*args)
     return jnp.sum(fsum)
 
 

@@ -274,9 +274,14 @@ class _Engine:
         self.minf_fn, self.resid_fn = likelihoods.get_model(o.model)
         farplane_bytes = (g.ntheta * g.nscan * g.nmodes * g.ndet * g.ndet
                           * 8)
+        # 'auto' threshold (measured on v5e, round 2, with the frameless
+        # minf_fused line search): frameless WINS once the farplane is
+        # HBM-scale (61.6 vs 54.2 iters/s on the 2.1 GB headline; 101 vs
+        # 83 on the 1.1 GB joint config) and loses at small sizes where
+        # kernel-grid overhead dominates (1292 vs 2864 iters/s at 33 MB).
         self.frameless = (o.memory == "frameless" or
                           (o.memory == "auto" and
-                           farplane_bytes > 4 * 1024**3))
+                           farplane_bytes > 512 * 1024**2))
         # Split-operator refinement mode (mixed precision): psi is a small
         # correction delta on top of a frozen base whose farplane f_base
         # was computed ONCE with an accurate kernel. The per-iteration
@@ -284,9 +289,13 @@ class _Engine:
         # tier drives residuals far below its own standalone floor.
         self.f_base = f_base
         if f_base is not None:
-            if o.nchunks != 1 or self.frameless:
+            if o.nchunks != 1:
                 raise ValueError("split-operator mode (f_base) requires "
-                                 "nchunks=1 and a materialized farplane")
+                                 "nchunks=1")
+            if self.frameless and diffraction.resolve_kernel(
+                    o.kernel) in ("xla", "pallas"):
+                raise ValueError("frameless split-operator mode needs the "
+                                 "fused kernels")
             if o.recover_prb:
                 raise ValueError("split-operator mode (f_base) does not "
                                  "support joint probe recovery; rebase "
@@ -361,10 +370,12 @@ class _Engine:
                 if self.frameless:
                     # Gradient mega-kernel: fwd + residual + objective +
                     # adjoint in one pass; the farplane never exists in
-                    # HBM (large nscan x nmodes regime).
+                    # HBM (large nscan x nmodes regime). In split mode
+                    # the frozen base farplane rides in as a kernel
+                    # input.
                     gpsi, f0 = pallas_fused.grad_fused(
                         psi, data, scan_i, prb, self.g.ndet, o.model,
-                        precision=prec)
+                        precision=prec, base=self.f_base)
                 else:
                     # Materialize G(psi) once (reused by the line-search
                     # statistics pass), then the fused gradient tail.
@@ -450,7 +461,8 @@ class _Engine:
                   if dpsi is not None else self._fwd(psi, sc, dprb))
             return fp, fd
 
-        if self.f_base is not None and fpsi is None:
+        if (self.f_base is not None and fpsi is None
+                and not self.frameless):
             raise ValueError("split-operator mode requires the "
                              "materialized object farplane from grad_pass")
         if o.nchunks == 1:
@@ -475,15 +487,15 @@ class _Engine:
                             cand = psi + gamma.astype(psi.dtype) * dpsi
                             return _psum(pallas_fused.minf_fused(
                                 cand, data, scan_i, prb, self.g.ndet,
-                                o.model, precision=prec),
-                                _scalar_axes(o))
+                                o.model, precision=prec,
+                                base=self.f_base), _scalar_axes(o))
                     else:
                         def f_of(gamma):
                             cand = prb + gamma.astype(prb.dtype) * dprb
                             return _psum(pallas_fused.minf_fused(
                                 psi, data, scan_i, cand, self.g.ndet,
-                                o.model, precision=prec),
-                                _scalar_axes(o))
+                                o.model, precision=prec,
+                                base=self.f_base), _scalar_axes(o))
 
                     return f_of
                 elif dpsi is not None:

@@ -148,8 +148,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # once per segment with the accurate tier; CG then runs on the small
     # correction delta with the fast kernels (errors scale with delta).
     opts2 = dataclasses.replace(options, kernel=fast, piter=segment,
-                                target_residual=target,
-                                memory="materialized", nchunks=1)
+                                target_residual=target, nchunks=1)
     # All device work stays jitted: eager complex constants / arithmetic
     # are unimplemented or pathologically slow on some TPU transports
     # (tikejax.utils.hostio).
