@@ -45,12 +45,12 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 #   'fused'    -- single Pallas kernel per operator with the 2-D DFT done
 #                 as MXU matmuls inside (no intermediate nearplane;
 #                 fastest; ~1e-3 operator accuracy in f32).
-#   'fused_mp' -- same kernels, DFT matmuls via a manual bf16x3
-#                 decomposition (~6e-6 operator accuracy, between
-#                 'fused' and 'fused_hp' in speed).
-#   'fused_hp' -- same kernels with full-f32 MXU passes (~2e-7 operator
-#                 accuracy, roughly half the CG rate): use when chasing
-#                 deep residuals.
+#   'fused_mp' -- same kernels, DFT matmuls via a Karatsuba complex mm
+#                 of manual bf16x3 real matmuls (~8e-6 operator
+#                 accuracy, ~36 iters/s on the headline config).
+#   'fused_hp' -- same kernels, Karatsuba complex mm of full-f32 MXU
+#                 passes (~4e-7 operator accuracy, ~21 iters/s): use
+#                 when chasing deep residuals.
 #   'auto'     -- 'fused' on TPU, 'xla' elsewhere.
 _KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "auto")
 
@@ -86,10 +86,17 @@ def resolve_kernel_for_target(kernel: str, target_residual: float) -> str:
 def _fused_precision(kernel: str):
     import jax.lax as lax
 
+    # The multi-pass tiers use the Karatsuba/Gauss 3-multiplication
+    # complex-matmul form: measured +18% (fused_mp, 30.2 -> 35.7 iters/s)
+    # and +27% (fused_hp, 16.6 -> 21.0) on the 512^2/16k headline with
+    # operator accuracy unchanged (mp 4.5e-6 -> 7.8e-6, hp 3.75e-7 ->
+    # 3.79e-7). The single-pass 'fused' tier keeps the schoolbook form:
+    # Karatsuba measured no faster there (63.6 vs 63.1) and costs
+    # accuracy (2.5e-3 -> 4.1e-3). See benchmarks/kernel_ab.py.
     if kernel == "fused_hp":
-        return lax.Precision.HIGHEST
+        return "kara_hp"
     if kernel == "fused_mp":
-        return "bf16x3"
+        return "kara_x3"
     return None
 
 

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tikejax.ops.pallas_kernels import (_accum_patch, _interpret,
                                         _load_patch, _pad_axis1,
                                         _pad_object, _split_c64,
-                                        _window_hw)
+                                        _window_hw, _with_vma)
 
 
 def _positions_per_step(nmodes: int) -> int:
@@ -69,14 +69,17 @@ def _dft_factors(ndet: int, nprb: int):
 
 
 # MXU precision of the DFT factor matmuls, selected per call via the
-# kernel name (see ops.diffraction). Measured on v5e (single 128x128x128
-# matmul relative error vs exact; CG rate on the 512^2/16k headline):
-#   DEFAULT  (1 bf16 pass)      ~2e-3 error, fastest (~57 iters/s)
-#   'bf16x3' (manual 3-pass)    ~6e-6 error, middle ('fused_mp')
-#   HIGHEST  (full f32 passes)  exact,      ~15 iters/s ('fused_hp')
+# kernel name (see ops.diffraction._fused_precision). Measured on v5e
+# (operator relative error vs the XLA oracle; CG rate on the 512^2/16k
+# headline, benchmarks/kernel_ab.py):
+#   DEFAULT   (1 bf16 pass, schoolbook)  ~2.5e-3 error, fastest (~78)
+#   'kara_x3' (Karatsuba of bf16x3)      ~8e-6 error   ('fused_mp')
+#   'kara_hp' (Karatsuba of full f32)    ~4e-7 error   ('fused_hp')
 # Precision.HIGH is not supported by Mosaic; 'bf16x3' is the manual
 # equivalent: split each operand into bf16 hi + lo and take the three
-# dominant cross products.
+# dominant cross products. Karatsuba does NOT pay on the single-pass
+# tier (no speed gain, 2.5e-3 -> 4.1e-3 error) so DEFAULT stays
+# schoolbook.
 PRECISION = lax.Precision.DEFAULT
 
 
@@ -93,32 +96,87 @@ def _dot(a, b, contract, prec):
                                    preferred_element_type=jnp.float32)
 
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    if prec == "bf16":
+        # Explicit one-shot bf16 operand conversion (otherwise identical
+        # to DEFAULT's single bf16 MXU pass): lets the caller share the
+        # converted operand across the schoolbook dots instead of relying
+        # on Mosaic to CSE the implicit converts.
+        return lax.dot_general(a.astype(jnp.bfloat16),
+                               b.astype(jnp.bfloat16), dims,
+                               preferred_element_type=jnp.float32)
     return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
                            precision=prec)
+
+
+# Complex-matmul algorithm per precision tag: 'kara*' tags select the
+# Karatsuba/Gauss 3-multiplication form (25% fewer MXU passes than the
+# 4-mul schoolbook form at the cost of three VPU add passes), with the
+# base precision of each real matmul given by the mapped value.
+_KARA_BASE = {
+    "kara": "bf16",                     # 1 bf16 pass per real mm
+    "kara_x3": "bf16x3",                # 3 passes (mp tier)
+    "kara_hp": lax.Precision.HIGHEST,   # full f32 (hp tier)
+}
+
+
+def _cmm(ar, ai, br, bi, contract, prec):
+    """Complex matrix multiply (ar + i*ai) @ (br + i*bi) with the given
+    dot_general contraction dims; returns (re, im) in f32."""
+    base = _KARA_BASE.get(prec)
+    if base is not None:
+        t1 = _dot(ar, br, contract, base)
+        t2 = _dot(ai, bi, contract, base)
+        t3 = _dot(ar + ai, br + bi, contract, base)
+        return t1 - t2, t3 - t1 - t2
+    re = _dot(ar, br, contract, prec) - _dot(ai, bi, contract, prec)
+    im = _dot(ar, bi, contract, prec) + _dot(ai, br, contract, prec)
+    return re, im
 
 
 def _dft2(nr, ni, fr, fi, prec):
     """(F @ near @ F^T) for near (nprb, nprb), F (ndet, nprb) split re/im.
     Returns farplane (ndet, ndet) re/im."""
     # t = F @ near : (ndet, nprb)
-    tr = _dot(fr, nr, ((1,), (0,)), prec) - _dot(fi, ni, ((1,), (0,)), prec)
-    ti = _dot(fr, ni, ((1,), (0,)), prec) + _dot(fi, nr, ((1,), (0,)), prec)
+    tr, ti = _cmm(fr, fi, nr, ni, ((1,), (0,)), prec)
     # far = t @ F^T : contract t dim1 with F dim1
-    rr = _dot(tr, fr, ((1,), (1,)), prec) - _dot(ti, fi, ((1,), (1,)), prec)
-    ri = _dot(tr, fi, ((1,), (1,)), prec) + _dot(ti, fr, ((1,), (1,)), prec)
-    return rr, ri
+    return _cmm(tr, ti, fr, fi, ((1,), (1,)), prec)
 
 
 def _idft2(gr, gi, fr, fi, prec):
     """Adjoint of :func:`_dft2`: (F^H @ far @ conj(F)) for far (ndet,
     ndet). Returns nearplane (nprb, nprb) re/im."""
     # t = F^H @ far : (nprb, ndet); F^H = conj(F)^T
-    tr = _dot(fr, gr, ((0,), (0,)), prec) + _dot(fi, gi, ((0,), (0,)), prec)
-    ti = _dot(fr, gi, ((0,), (0,)), prec) - _dot(fi, gr, ((0,), (0,)), prec)
+    tr, ti = _cmm(fr, -fi, gr, gi, ((0,), (0,)), prec)
     # near = t @ conj(F) : contract t dim1 (ndet) with F dim0
-    rr = _dot(tr, fr, ((1,), (0,)), prec) + _dot(ti, fi, ((1,), (0,)), prec)
-    ri = _dot(ti, fr, ((1,), (0,)), prec) - _dot(tr, fi, ((1,), (0,)), prec)
-    return rr, ri
+    return _cmm(tr, ti, fr, -fi, ((1,), (0,)), prec)
+
+
+# Phase-separated frame processing: the mega-kernels below run their
+# per-step position block in PHASES (gather all patches -> all DFTs ->
+# all pointwise likelihood work -> all IDFTs -> all scatters) instead of
+# interleaving the full chain per position. Same math, but Mosaic
+# schedules the independent per-frame matmuls of a phase back-to-back:
+# measured 78.7 +- 3.8 iters/s (4 runs) on the 512^2/16k headline vs
+# 63-68 for the interleaved form.
+#
+# REJECTED follow-up (measured, for the record): stacking G frames into
+# wide per-group matmuls -- one (ndet, G*nprb) stage-1 and one (G*ndet,
+# nprb) stage-2 product with a tile-aligned block relayout between --
+# was monotonically SLOWER (G=4: 59.7, G=8: 56.0, G=16: 52.6 iters/s):
+# the VMEM concat/relayout traffic exceeds any MXU pipeline gain, and
+# the bigger live set degrades double-buffering.
+
+
+def _dft2_many(nrs, nis, fr, fi, prec):
+    """DFT2 over a list of nearplanes; returns lists of farplane re/im."""
+    out = [_dft2(nr, ni, fr, fi, prec) for nr, ni in zip(nrs, nis)]
+    return [o[0] for o in out], [o[1] for o in out]
+
+
+def _idft2_many(grs, gis, fr, fi, prec):
+    """Adjoint of :func:`_dft2_many`."""
+    out = [_idft2(gr, gi, fr, fi, prec) for gr, gi in zip(grs, gis)]
+    return [o[0] for o in out], [o[1] for o in out]
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +192,7 @@ def _fwd_kernel(P, nmodes, nprb, prec, has_base, sy, sx, fr, fi, pre, pim,
         ore, oim = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nrs, nis = [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
@@ -142,9 +201,13 @@ def _fwd_kernel(P, nmodes, nprb, prec, has_base, sy, sx, fr, fi, pre, pim,
         for m in range(nmodes):
             br = bre[0, m]
             bi = bim[0, m]
-            nr = ar * br - ai * bi
-            ni = ar * bi + ai * br
-            rr, ri = _dft2(nr, ni, fr[...], fi[...], prec)
+            nrs.append(ar * br - ai * bi)
+            nis.append(ar * bi + ai * br)
+    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+    for p in range(P):
+        for m in range(nmodes):
+            k = p * nmodes + m
+            rr, ri = frs[k], fis[k]
             if has_base:
                 # Split-operator epilogue: add the frozen base farplane
                 # in VMEM, saving the separate XLA add pass (farplane-
@@ -209,7 +272,7 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
         functools.partial(_fwd_kernel, P, nmodes, nprb,
                           precision or PRECISION, base is not None),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
     )(*args)
     return lax.complex(ore, oim)[:, :s]
@@ -230,19 +293,22 @@ def _adj_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, bre, bim,
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
 
+    ars, ais = _idft2_many(
+        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
+        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
+        fr[...], fi[...], prec)
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
         acc_re = jnp.zeros((nprb, nprb), jnp.float32)
         acc_im = jnp.zeros((nprb, nprb), jnp.float32)
         for m in range(nmodes):
-            nr, ni = _idft2(gre[0, p, m], gim[0, p, m], fr[...], fi[...],
-                            prec)
+            k = p * nmodes + m
             br = bre[0, m]
             bi = bim[0, m]
             # conj(prb) * near
-            acc_re = acc_re + (br * nr + bi * ni)
-            acc_im = acc_im + (br * ni - bi * nr)
+            acc_re = acc_re + (br * ars[k] + bi * ais[k])
+            acc_im = acc_im + (br * ais[k] - bi * ars[k])
         _accum_patch(ore, acc_re, y, x, nprb)
         _accum_patch(oim, acc_im, y, x, nprb)
 
@@ -292,13 +358,14 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
     ]
+    args = (sy, sx, fr, fi, gre, gim, bre, bim)
     ore, oim = pl.pallas_call(
         functools.partial(_adj_kernel, P, nmodes, nprb,
                           precision or PRECISION),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, fr, fi, gre, gim, bre, bim)
+    )(*args)
     return lax.complex(ore, oim)[:, :nz, :n]
 
 
@@ -317,17 +384,20 @@ def _adj_probe_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, pre,
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
 
+    ars, ais = _idft2_many(
+        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
+        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
+        fr[...], fi[...], prec)
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
+        pr = _load_patch(pre, y, x, nprb)
+        pi = _load_patch(pim, y, x, nprb)
         for m in range(nmodes):
-            nr, ni = _idft2(gre[0, p, m], gim[0, p, m], fr[...], fi[...],
-                            prec)
+            k = p * nmodes + m
             # conj(psi_patch) * near
-            ore[0, m] += ar * nr + ai * ni
-            oim[0, m] += ar * ni - ai * nr
+            ore[0, m] += pr * ars[k] + pi * ais[k]
+            oim[0, m] += pr * ais[k] - pi * ars[k]
 
 
 def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
@@ -375,13 +445,14 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
         jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
         jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
     ]
+    args = (sy, sx, fr, fi, gre, gim, pre, pim)
     ore, oim = pl.pallas_call(
         functools.partial(_adj_probe_kernel, P, nmodes, nprb,
                           precision or PRECISION),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, fr, fi, gre, gim, pre, pim)
+    )(*args)
     return lax.complex(ore, oim)
 
 
@@ -402,10 +473,9 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx,
         fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
+    rrs, ris = [], []
     for p in range(P):
         idx = j * P + p
-        y = sy[i, idx]
-        x = sx[i, idx]
         # Mask padded tail positions (idx >= s_actual): for gaussian the
         # eps guard makes a zero frame contribute ndet^2 * 1e-12 to minf,
         # so zero-padding alone is not enough (same masking as
@@ -426,16 +496,21 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx,
             factor = (1.0 - d / (intensity + 1e-8)) * valid
             minf_acc = minf_acc + valid * jnp.sum(
                 intensity - d * jnp.log(intensity + 1e-8))
+        for m in range(nmodes):
+            rrs.append(gre[0, p, m] * factor)
+            ris.append(gim[0, p, m] * factor)
+    ars, ais = _idft2_many(rrs, ris, fr[...], fi[...], prec)
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
         acc_re = jnp.zeros((nprb, nprb), jnp.float32)
         acc_im = jnp.zeros((nprb, nprb), jnp.float32)
         for m in range(nmodes):
-            rr = gre[0, p, m] * factor
-            ri = gim[0, p, m] * factor
-            nr, ni = _idft2(rr, ri, fr[...], fi[...], prec)
+            k = p * nmodes + m
             br = bre[0, m]
             bi = bim[0, m]
-            acc_re = acc_re + (br * nr + bi * ni)
-            acc_im = acc_im + (br * ni - bi * nr)
+            acc_re = acc_re + (br * ars[k] + bi * ais[k])
+            acc_im = acc_im + (br * ais[k] - bi * ars[k])
         _accum_patch(ore, acc_re, y, x, nprb)
         _accum_patch(oim, acc_im, y, x, nprb)
     fsum[0, 0] += minf_acc
@@ -496,13 +571,14 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
         jax.ShapeDtypeStruct((t, 1), jnp.float32),
     ]
+    args = (sy, sx, fr, fi, gre, gim, dat, bre, bim)
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_adj_residual_kernel, P, nmodes, nprb, model,
                           precision or PRECISION, s),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, fr, fi, gre, gim, dat, bre, bim)
+    )(*args)
     return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)
 
 
@@ -516,20 +592,25 @@ def _fwd_quad_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, dre, dim_, bre,
                      bim, pre_psi, pim_psi, oa, ob, oc):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nrs, nis = [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
         ar = _load_patch(dre, y, x, nprb)
         ai = _load_patch(dim_, y, x, nprb)
+        for m in range(nmodes):
+            br = bre[0, m]
+            bi = bim[0, m]
+            nrs.append(ar * br - ai * bi)
+            nis.append(ar * bi + ai * br)
+    fds, fdis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+    for p in range(P):
         a = jnp.zeros((oa.shape[-2], oa.shape[-1]), jnp.float32)
         b = jnp.zeros_like(a)
         c = jnp.zeros_like(a)
         for m in range(nmodes):
-            br = bre[0, m]
-            bi = bim[0, m]
-            nr = ar * br - ai * bi
-            ni = ar * bi + ai * br
-            fdr, fdi = _dft2(nr, ni, fr[...], fi[...], prec)
+            k = p * nmodes + m
+            fdr, fdi = fds[k], fdis[k]
             fpr = pre_psi[0, p, m]
             fpi = pim_psi[0, p, m]
             a = a + fpr * fpr + fpi * fpi
@@ -593,13 +674,14 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
         jax.ShapeDtypeStruct((t, s_pad, ndet, ndet), jnp.float32)
         for _ in range(3)
     ]
+    args = (sy, sx, fr, fi, dre, dim_, bre, bim, fre, fim)
     oa, ob, oc = pl.pallas_call(
         functools.partial(_fwd_quad_kernel, P, nmodes, nprb,
                           precision or PRECISION),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, fr, fi, dre, dim_, bre, bim, fre, fim)
+    )(*args)
     return oa[:, :s], ob[:, :s], oc[:, :s]
 
 
@@ -627,32 +709,39 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
         oim[...] = jnp.zeros_like(oim)
         fsum[0, 0] = jnp.float32(0.0)
 
+    # Phase A: gather + probe multiply -> all P*nmodes nearplanes.
+    ys, xs, nrs, nis = [], [], [], []
+    for p in range(P):
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
+        ys.append(y)
+        xs.append(x)
+        ar = _load_patch(pre, y, x, nprb)
+        ai = _load_patch(pim, y, x, nprb)
+        for m in range(nmodes):
+            br = bre[0, m]
+            bi = bim[0, m]
+            nrs.append(ar * br - ai * bi)
+            nis.append(ar * bi + ai * br)
+    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+
+    # Phase B: likelihood residual factor + objective per position.
     minf_acc = jnp.zeros((), jnp.float32)
     for p in range(P):
         idx = j * P + p
-        y = sy[i, idx]
-        x = sx[i, idx]
         # Padded tail positions gather REAL object data against zero data
         # frames; mask their objective and residual to exactly zero.
         valid = jnp.where(idx < s_actual, jnp.float32(1.0),
                           jnp.float32(0.0))
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
-        frames = []
         intensity = jnp.zeros_like(dat[0, p])
         for m in range(nmodes):
-            br = bre[0, m]
-            bi = bim[0, m]
-            nr = ar * br - ai * bi
-            ni = ar * bi + ai * br
-            gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
+            k = p * nmodes + m
             if has_base:
                 # Split-operator mode: the frame is G(base) + G(delta),
                 # with the accurate base farplane read from HBM.
-                gr_ = gr_ + zre[0, p, m]
-                gi_ = gi_ + zim[0, p, m]
-            frames.append((gr_, gi_))
-            intensity = intensity + gr_ * gr_ + gi_ * gi_
+                frs[k] = frs[k] + zre[0, p, m]
+                fis[k] = fis[k] + zim[0, p, m]
+            intensity = intensity + frs[k] * frs[k] + fis[k] * fis[k]
         d = jnp.maximum(dat[0, p], 0.0)
         if model == "gaussian":
             amp = jnp.sqrt(intensity + 1e-12)
@@ -663,18 +752,24 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
             factor = (1.0 - d / (intensity + 1e-8)) * valid
             minf_acc = minf_acc + valid * jnp.sum(
                 intensity - d * jnp.log(intensity + 1e-8))
+        for m in range(nmodes):
+            k = p * nmodes + m
+            frs[k] = frs[k] * factor
+            fis[k] = fis[k] * factor
+    ars, ais = _idft2_many(frs, fis, fr[...], fi[...], prec)
+
+    # Phase C: conj-probe multiply, mode-sum, overlap scatter.
+    for p in range(P):
         acc_re = jnp.zeros((nprb, nprb), jnp.float32)
         acc_im = jnp.zeros((nprb, nprb), jnp.float32)
         for m in range(nmodes):
-            gr_, gi_ = frames[m]
-            nr, ni = _idft2(gr_ * factor, gi_ * factor, fr[...], fi[...],
-                            prec)
+            k = p * nmodes + m
             br = bre[0, m]
             bi = bim[0, m]
-            acc_re = acc_re + (br * nr + bi * ni)
-            acc_im = acc_im + (br * ni - bi * nr)
-        _accum_patch(ore, acc_re, y, x, nprb)
-        _accum_patch(oim, acc_im, y, x, nprb)
+            acc_re = acc_re + (br * ars[k] + bi * ais[k])
+            acc_im = acc_im + (br * ais[k] - bi * ars[k])
+        _accum_patch(ore, acc_re, ys[p], xs[p], nprb)
+        _accum_patch(oim, acc_im, ys[p], xs[p], nprb)
     fsum[0, 0] += minf_acc
 
 
@@ -741,7 +836,7 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         functools.partial(_grad_kernel, P, nmodes, nprb, model,
                           precision or PRECISION, s, base is not None),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
     )(*args)
     return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)
@@ -760,22 +855,28 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
     def _():
         fsum[0, 0] = jnp.float32(0.0)
 
-    minf_acc = jnp.zeros((), jnp.float32)
+    nrs, nis = [], []
     for p in range(P):
-        idx = j * P + p
-        y = sy[i, idx]
-        x = sx[i, idx]
-        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
-                          jnp.float32(0.0))
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
         ar = _load_patch(pre, y, x, nprb)
         ai = _load_patch(pim, y, x, nprb)
-        intensity = jnp.zeros((dat.shape[-2], dat.shape[-1]), jnp.float32)
         for m in range(nmodes):
             br = bre[0, m]
             bi = bim[0, m]
-            nr = ar * br - ai * bi
-            ni = ar * bi + ai * br
-            gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
+            nrs.append(ar * br - ai * bi)
+            nis.append(ar * bi + ai * br)
+    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+
+    minf_acc = jnp.zeros((), jnp.float32)
+    for p in range(P):
+        idx = j * P + p
+        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
+                          jnp.float32(0.0))
+        intensity = jnp.zeros((dat.shape[-2], dat.shape[-1]), jnp.float32)
+        for m in range(nmodes):
+            k = p * nmodes + m
+            gr_, gi_ = frs[k], fis[k]
             if has_base:
                 gr_ = gr_ + zre[0, p, m]
                 gi_ = gi_ + zim[0, p, m]
@@ -849,7 +950,7 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         functools.partial(_minf_kernel, P, nmodes, nprb, model,
                           precision or PRECISION, s, base is not None),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
     )(*args)
     return jnp.sum(fsum)
@@ -873,24 +974,29 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr,
         fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
+    pats = []
+    nrs, nis = [], []
     for p in range(P):
-        idx = j * P + p
-        y = sy[i, idx]
-        x = sx[i, idx]
-        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
-                          jnp.float32(0.0))
+        y = sy[i, j * P + p]
+        x = sx[i, j * P + p]
         ar = _load_patch(pre, y, x, nprb)
         ai = _load_patch(pim, y, x, nprb)
-        frames = []
-        intensity = jnp.zeros_like(dat[0, p])
+        pats.append((ar, ai))
         for m in range(nmodes):
             br = bre[0, m]
             bi = bim[0, m]
-            nr = ar * br - ai * bi
-            ni = ar * bi + ai * br
-            gr_, gi_ = _dft2(nr, ni, fr[...], fi[...], prec)
-            frames.append((gr_, gi_))
-            intensity = intensity + gr_ * gr_ + gi_ * gi_
+            nrs.append(ar * br - ai * bi)
+            nis.append(ar * bi + ai * br)
+    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+
+    for p in range(P):
+        idx = j * P + p
+        valid = jnp.where(idx < s_actual, jnp.float32(1.0),
+                          jnp.float32(0.0))
+        intensity = jnp.zeros_like(dat[0, p])
+        for m in range(nmodes):
+            k = p * nmodes + m
+            intensity = intensity + frs[k] * frs[k] + fis[k] * fis[k]
         d = jnp.maximum(dat[0, p], 0.0)
         if model == "gaussian":
             amp = jnp.sqrt(intensity + 1e-12)
@@ -902,12 +1008,18 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr,
             minf_acc = minf_acc + valid * jnp.sum(
                 intensity - d * jnp.log(intensity + 1e-8))
         for m in range(nmodes):
-            gr_, gi_ = frames[m]
-            nr, ni = _idft2(gr_ * factor, gi_ * factor, fr[...], fi[...],
-                            prec)
+            k = p * nmodes + m
+            frs[k] = frs[k] * factor
+            fis[k] = fis[k] * factor
+    ars, ais = _idft2_many(frs, fis, fr[...], fi[...], prec)
+
+    for p in range(P):
+        ar, ai = pats[p]
+        for m in range(nmodes):
+            k = p * nmodes + m
             # conj(psi_patch) * near accumulated into the probe mode
-            ore[0, m] += ar * nr + ai * ni
-            oim[0, m] += ar * ni - ai * nr
+            ore[0, m] += ar * ars[k] + ai * ais[k]
+            oim[0, m] += ar * ais[k] - ai * ars[k]
     fsum[0, 0] += minf_acc
 
 
@@ -963,11 +1075,12 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
         jax.ShapeDtypeStruct((t, 1), jnp.float32),
     ]
+    args = (sy, sx, fr, fi, pre, pim, dat, bre, bim)
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_prb_kernel, P, nmodes, nprb, model,
                           precision or PRECISION, s),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, fr, fi, pre, pim, dat, bre, bim)
+    )(*args)
     return lax.complex(ore, oim), jnp.sum(fsum)

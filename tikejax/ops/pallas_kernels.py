@@ -56,6 +56,23 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _with_vma(out_shape, args):
+    """Stamp each output struct with the union of the inputs' varying
+    manual axes so the kernels type-check under ``jax.shard_map``'s
+    ``check_vma=True`` (outputs derived from a sharded input vary over
+    that input's mesh axes). Outside shard_map the union is empty and
+    the structs pass through unchanged."""
+    vma = frozenset()
+    for a in args:
+        vma = vma | getattr(jax.typeof(a), "vma", frozenset())
+    if not vma:
+        return out_shape
+    mk = lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, vma=vma)
+    if isinstance(out_shape, (list, tuple)):
+        return type(out_shape)(mk(s) for s in out_shape)
+    return mk(out_shape)
+
+
 def _positions_per_step(nmodes: int) -> int:
     # Keep the per-step frame block (P * nmodes * nprb^2 * 8B) around <= 1MB
     # for 128^2 probes so double buffering fits VMEM comfortably.
@@ -201,6 +218,7 @@ def gather_probe_mul(psi: jax.Array, scan_int: jax.Array,
                          lambda i, j, *_: (i, j, 0, 0, 0)),
         ],
     )
+    args = (sy, sx, pre, pim, bre, bim)
     out_shape = [
         jax.ShapeDtypeStruct((t, s_pad, nmodes, nprb, nprb), jnp.float32),
         jax.ShapeDtypeStruct((t, s_pad, nmodes, nprb, nprb), jnp.float32),
@@ -208,9 +226,9 @@ def gather_probe_mul(psi: jax.Array, scan_int: jax.Array,
     ore, oim = pl.pallas_call(
         functools.partial(_gather_mul_kernel, P, nmodes, nprb),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, pre, pim, bre, bim)
+    )(*args)
     return lax.complex(ore, oim)[:, :s]
 
 
@@ -289,6 +307,7 @@ def scatter_conj_probe(nearplane: jax.Array, scan_int: jax.Array,
             pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
         ],
     )
+    args = (sy, sx, fre, fim, bre, bim)
     out_shape = [
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
@@ -296,9 +315,9 @@ def scatter_conj_probe(nearplane: jax.Array, scan_int: jax.Array,
     ore, oim = pl.pallas_call(
         functools.partial(_scatter_kernel, P, nmodes, nprb),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, fre, fim, bre, bim)
+    )(*args)
     return lax.complex(ore, oim)[:, :nz, :n]
 
 
@@ -370,6 +389,7 @@ def adj_probe_reduce(nearplane: jax.Array, scan_int: jax.Array,
                          lambda i, j, *_: (i, 0, 0, 0)),
         ],
     )
+    args = (sy, sx, fre, fim, pre, pim)
     out_shape = [
         jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
         jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
@@ -377,7 +397,7 @@ def adj_probe_reduce(nearplane: jax.Array, scan_int: jax.Array,
     ore, oim = pl.pallas_call(
         functools.partial(_adj_probe_kernel, P, nmodes, nprb),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
-    )(sy, sx, fre, fim, pre, pim)
+    )(*args)
     return lax.complex(ore, oim)

@@ -27,7 +27,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tikejax.ops.pallas_kernels import _interpret, _pad_axis1, _split_c64
+from tikejax.ops.pallas_kernels import (_interpret, _pad_axis1,
+                                        _split_c64, _with_vma)
 
 _B = 8  # frames per grid step
 
@@ -88,6 +89,7 @@ def ls_objectives(fpsi: jax.Array, fd: jax.Array, data: jax.Array,
                               lambda i, j: (i, j, 0, 0, 0))
     # Per-angle accumulator block revisited across the (sequential) scan
     # grid dimension, like the scatter kernels: race-free, deterministic.
+    args = (gam, fpr, fpi, fdr, fdi, dat)
     out = pl.pallas_call(
         functools.partial(_ls_kernel, k, _B, nmodes, model),
         grid=(t, grid_steps),
@@ -99,7 +101,8 @@ def ls_objectives(fpsi: jax.Array, fd: jax.Array, data: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 1, k), jnp.float32),
+        out_shape=_with_vma(
+            jax.ShapeDtypeStruct((t, 1, k), jnp.float32), args),
         interpret=_interpret(),
-    )(gam, fpr, fpi, fdr, fdi, dat)
+    )(*args)
     return jnp.sum(out, axis=(0, 1))

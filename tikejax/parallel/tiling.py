@@ -158,12 +158,15 @@ def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
                                          psi_l[0], scan_l[0], prb_l)
         return psi[None], prb, metrics
 
-    sharded = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(), P()),
-        check_vma=False,
-    )
-    psi_s, prb, metrics = jax.jit(sharded)(data_p, psi_slabs, scan_loc,
-                                           prb0)
+    def sharded(check_vma):
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=(P(axis), P(), P()),
+            check_vma=check_vma,
+        )
+
+    from tikejax.parallel.sharding import _call_checked
+    psi_s, prb, metrics = _call_checked(sharded, data_p, psi_slabs,
+                                        scan_loc, prb0)
     return jax.jit(stitch, static_argnums=1)(psi_s, owned), prb, metrics

@@ -841,8 +841,8 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
 
     Kernel accuracy tiers (``kernel=``, see tikejax.ops.diffraction):
     'fused' is the fastest (~1e-3 operator error, residual floor ~2e-3),
-    'fused_mp' ~6e-6 at ~half the rate, 'fused_hp' ~2e-7 at ~quarter
-    rate. ``kernel='auto'`` picks by ``target_residual`` when one is set
+    'fused_mp' ~8e-6 at ~half the rate, 'fused_hp' ~4e-7 at ~a third of
+    the rate (both multi-pass tiers use Karatsuba complex matmuls). ``kernel='auto'`` picks by ``target_residual`` when one is set
     (deep targets escalate the tier) and 'fused' otherwise; for
     time-to-deep-residual reconstruction prefer :func:`reconstruct`,
     which chains the tiers.
