@@ -59,8 +59,11 @@ _KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "auto")
 # headline configs (BASELINE.md time-to-residual table), with margin:
 # convergence stalls well before the raw operator error because CG keeps
 # re-evaluating a noisy objective near its floor.
-FUSED_RESIDUAL_FLOOR = 5e-3      # 'fused'    (~1e-3 operator error)
-FUSED_MP_RESIDUAL_FLOOR = 3e-5   # 'fused_mp' (~6e-6 operator error)
+FUSED_RESIDUAL_FLOOR = 5e-3      # 'fused'    (~2.5e-3 operator error)
+# 'fused_mp' (Karatsuba bf16x3, ~8e-6 operator error): measured on the
+# 512^2/16k headline, residual 3.0e-5 @ 385 iters, 8.6e-6 @ 1024 and
+# still descending -- 1e-5 is reachable with margin.
+FUSED_MP_RESIDUAL_FLOOR = 1e-5
 
 
 def resolve_kernel(kernel: str) -> str:

@@ -49,8 +49,11 @@ from tikejax.ops.pallas_kernels import (_accum_patch, _interpret,
 def _positions_per_step(nmodes: int) -> int:
     # P * nmodes frame-sized f32 pairs live in VMEM per step plus matmul
     # temporaries; P=16 measured fastest at 128^2 frames on v5e (40.4 vs
-    # 38.9 iters/s at P=8 on the headline CG config).
-    return max(1, 16 // nmodes)
+    # 38.9 iters/s at P=8 on the headline CG config). Env knob for
+    # re-tuning sweeps on hardware.
+    import os
+    frames = int(os.environ.get("TIKEJAX_FRAMES_PER_STEP", "16"))
+    return max(1, frames // nmodes)
 
 
 @functools.lru_cache(maxsize=None)

@@ -127,15 +127,28 @@ def _aligned(y, x):
     return y0, y - y0, x0, x - x0
 
 
+import os as _os
+
+# Timing-only ablation knob: 1 skips the dynamic rotates (WRONG results)
+# to measure their share of kernel time; 2 additionally skips the
+# aligned window read (loads a static window); 3 skips only the sublane
+# (axis 0) rolls; 4 skips only the lane (axis 1) rolls.
+_NOROLL = int(_os.environ.get("TIKEJAX_NOROLL", "0"))
+
+
 def _load_patch(ref, y, x, nprb):
     """Read the nprb x nprb patch at arbitrary (y, x) from a padded ref:
     aligned pow2 window + dynamic sublane/lane rotates (cheap VPU data
     movement; the window lives in VMEM so the over-read costs no HBM)."""
     y0, ry, x0, rx = _aligned(y, x)
     h, w = _window_hw(nprb)
+    if _NOROLL == 2:
+        return ref[0, :nprb, :nprb]
     win = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
-    win = pltpu.roll(win, -ry, axis=0)
-    win = pltpu.roll(win, -rx, axis=1)
+    if _NOROLL in (0, 4):
+        win = pltpu.roll(win, -ry, axis=0)
+    if _NOROLL in (0, 3):
+        win = pltpu.roll(win, -rx, axis=1)
     return win[:nprb, :nprb]
 
 
@@ -145,12 +158,17 @@ def _accum_patch(ref, val, y, x, nprb):
     patch."""
     y0, ry, x0, rx = _aligned(y, x)
     h, w = _window_hw(nprb)
+    if _NOROLL == 2:
+        ref[0, :nprb, :nprb] = ref[0, :nprb, :nprb] + val
+        return
     padded = jnp.concatenate(
         [val, jnp.zeros((nprb, w - nprb), jnp.float32)], axis=1)
     padded = jnp.concatenate(
         [padded, jnp.zeros((h - nprb, w), jnp.float32)], axis=0)
-    padded = pltpu.roll(padded, ry, axis=0)
-    padded = pltpu.roll(padded, rx, axis=1)
+    if _NOROLL in (0, 4):
+        padded = pltpu.roll(padded, ry, axis=0)
+    if _NOROLL in (0, 3):
+        padded = pltpu.roll(padded, rx, axis=1)
     cur = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
     ref[0, pl.ds(y0, h), pl.ds(x0, w)] = cur + padded
 

@@ -6,8 +6,8 @@ metric "time-to-1e-6 residual", BASELINE.json:2; numbers in BASELINE.md):
 1. **Kernel-tier chaining** (:func:`reconstruct` with
    ``method='tiers'``): the fused MXU-DFT kernels come in three accuracy
    tiers (ops/diffraction) -- 'fused' (fastest, residual floor ~2e-3),
-   'fused_mp' (~3e-5 floor, ~half rate), 'fused_hp' (fp32-floor,
-   ~quarter rate). Each tier runs with an early-exit ``target_residual``
+   'fused_mp' (~1e-5 floor, ~60% rate), 'fused_hp' (fp32-floor,
+   ~30% rate). Each tier runs with an early-exit ``target_residual``
    just above its floor and hands (psi, prb) to the next.
 
 2. **Split-operator refinement** (default, ``method='split'``): after
