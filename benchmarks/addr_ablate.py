@@ -1,0 +1,50 @@
+"""Timing-only ablation of the patch-addressing cost on the real TPU.
+
+Runs the headline CG config (512^2 / 16k / 128^2, gaussian, fused
+frameless) under one TIKEJAX_NOROLL knob value (env, read at kernel
+import) and prints the rate. Knob meanings (ops/pallas_kernels.py):
+  0 full addressing (correct)      1 no rolls (wrong results)
+  2 static window (wrong)          3 skip sublane rolls only (wrong)
+  4 skip lane rolls only (wrong)
+Usage: TIKEJAX_NOROLL=k python benchmarks/addr_ablate.py [piter]
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+from tikejax import Geometry
+from tikejax.models import make_problem
+from tikejax.solvers import run
+from tikejax.utils import cones, device_sync as sync, scalar, \
+    sync_overhead_seconds
+
+
+def main():
+    piter = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    g = Geometry(nz=512, n=512, nscan=16384, ndet=128, nprb=128)
+    _, scan, prb, data = make_problem(jax.random.PRNGKey(0), g)
+    sync(data)
+    psi0 = cones(g.psi_shape)
+    overhead = sync_overhead_seconds()
+
+    t0 = time.time()
+    psi, _, m = run(data, psi0, scan, prb, g, piter=piter,
+                    model="gaussian", kernel="fused")
+    sync(psi)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    psi, _, m = run(data, psi0, scan, prb, g, piter=piter,
+                    model="gaussian", kernel="fused")
+    sync(psi)
+    dt = max(time.time() - t0 - overhead, 1e-9)
+    print(f"NOROLL={os.environ.get('TIKEJAX_NOROLL', '0'):>2s}  "
+          f"{piter/dt:6.1f} iters/s  ({dt/piter*1000:.2f} ms/iter, "
+          f"compile+1st {compile_s:.0f}s)  "
+          f"minf_last={scalar(m['minf'][-1]):.4e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,16 +22,41 @@ ndet) for the FFT -- ~9x more FLOPs at 128^2 -- but the MXU's f32
 throughput is ~2 orders of magnitude above what the VPU-bound FFT
 butterflies achieve, and the pass is memory-bound anyway.
 
-Same addressing scheme as pallas_kernels (aligned pow2 windows + dynamic
-rotates, scalar-prefetched scan offsets, sequential-grid deterministic
-scatter). Adjoints are exact: the adjoint kernels apply F^H . conj(F)
-with the same factor matrices, so fwd/adj remain Hermitian-adjoint pairs
-to f32 rounding.
+Patch addressing (Mosaic needs sublane%8 / lane%128 dynamic offsets, so
+arbitrary scan offsets decompose into aligned base + (ry, rx) residual;
+scan offsets arrive via scalar prefetch; the sequential grid makes the
+overlap scatter deterministic):
+
+* ``v1`` -- aligned power-of-two window + dynamic sublane AND lane
+  rotates (``pltpu.roll``), as in pallas_kernels.
+* ``v2`` (default) -- the sublane residual is never applied to the data:
+  the gather reads an (nprb+8)-row aligned window and ONE lane roll
+  yields the row-extended patch whose rows [ry, ry+nprb) are the true
+  patch. The probe multiply uses an 8-variant row-placed probe table
+  (zeroing the extra rows) and the stage-1 DFT factor is selected from
+  an 8-variant table ``F[k, m - ry]`` that contracts the extended rows
+  with the correct phases -- so the kernels still produce TRUE farplanes
+  and stay exact Hermitian adjoint pairs. The adjoint scatter multiplies
+  by the conj probe variant (masking the extra rows) and lands the
+  (nprb+8)-row block with one lane roll + aligned read-modify-write: no
+  sublane rotate anywhere, no pow2 row-count constraint, half the window
+  over-read, and no zero-concat on the sublane axis. Motivation
+  (measured, 512^2/16k/128^2 headline on v5e): the sublane rotate is the
+  dominant addressing cost -- under some libtpu builds catastrophically
+  so (207 ms/iter with both rotates vs 4.9 ms lane-only).
+
+Adjoints are exact in both schemes: the adjoint kernels apply F^H .
+conj(F) with the same (variant-selected) factor matrices.
+
+Select with ``TIKEJAX_ADDR={v1,v2}`` (read at import) or per call via
+``addressing=``; changing the env var mid-process does NOT invalidate
+jitted callers.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +65,27 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tikejax.ops.pallas_kernels import (_accum_patch, _interpret,
-                                        _load_patch, _pad_axis1,
-                                        _pad_object, _split_c64,
-                                        _window_hw, _with_vma)
+from tikejax.ops.pallas_kernels import (_SUB, _accum_patch,
+                                        _accum_patch_ext, _interpret,
+                                        _load_patch, _load_patch_ext,
+                                        _pad_axis1, _pad_object,
+                                        _split_c64, _window_hw,
+                                        _window_hw2, _with_vma)
+
+_ADDR = os.environ.get("TIKEJAX_ADDR", "v2")
+
+# Timing-only ablation knob: 1 replaces the per-position dynamic probe-
+# variant and row-factor table selects with the static ry=0 variant
+# (WRONG results for ry != 0) to measure the select cost share.
+_V2ABL = int(os.environ.get("TIKEJAX_V2ABL", "0"))
+
+
+def _is_v2(addressing) -> bool:
+    return (addressing or _ADDR) == "v2"
+
+
+def _win(nprb, v2):
+    return _window_hw2(nprb) if v2 else _window_hw(nprb)
 
 
 def _positions_per_step(nmodes: int) -> int:
@@ -51,7 +93,6 @@ def _positions_per_step(nmodes: int) -> int:
     # temporaries; P=16 measured fastest at 128^2 frames on v5e (40.4 vs
     # 38.9 iters/s at P=8 on the headline CG config). Env knob for
     # re-tuning sweeps on hardware.
-    import os
     frames = int(os.environ.get("TIKEJAX_FRAMES_PER_STEP", "16"))
     return max(1, frames // nmodes)
 
@@ -71,11 +112,46 @@ def _dft_factors(ndet: int, nprb: int):
     return jnp.asarray(fr), jnp.asarray(fi)
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_row_factors_np(ndet: int, wh: int):
+    """v2 stage-1 factor table (8, ndet, wh): variant ry is the DFT
+    factor with columns shifted by the sublane residual,
+    ``F[k, m - ry] = e^(-2 pi i k (m - ry) / ndet) / sqrt(ndet)``, so
+    contracting it against the row-EXTENDED patch (whose true rows start
+    at ry) yields the true, phase-correct farplane."""
+    ry = np.arange(_SUB)[:, None, None].astype(np.float64)
+    u = np.arange(ndet)[None, :, None].astype(np.float64)
+    m = np.arange(wh)[None, None, :].astype(np.float64)
+    ang = -2.0 * np.pi * u * (m - ry) / ndet
+    scale = 1.0 / np.sqrt(ndet)
+    return (np.cos(ang).astype(np.float32) * scale,
+            np.sin(ang).astype(np.float32) * scale)
+
+
+def _dft_row_factors(ndet: int, wh: int):
+    fr, fi = _dft_row_factors_np(ndet, wh)
+    return jnp.asarray(fr), jnp.asarray(fi)
+
+
+def _probe_variants(bre, bim, wh):
+    """(t, nmodes, nprb, nprb) -> (t, 8, nmodes, wh, nprb): variant ry
+    has the probe rows placed at offset ry (zeros elsewhere), matching
+    the row-extended patch layout of v2 addressing."""
+    nprb = bre.shape[-1]
+
+    def pv(b):
+        return jnp.stack(
+            [jnp.pad(b, ((0, 0), (0, 0), (ry, wh - nprb - ry), (0, 0)))
+             for ry in range(_SUB)], axis=1)
+
+    return pv(bre), pv(bim)
+
+
 # MXU precision of the DFT factor matmuls, selected per call via the
 # kernel name (see ops.diffraction._fused_precision). Measured on v5e
 # (operator relative error vs the XLA oracle; CG rate on the 512^2/16k
 # headline, benchmarks/kernel_ab.py):
-#   DEFAULT   (1 bf16 pass, schoolbook)  ~2.5e-3 error, fastest (~78)
+#   DEFAULT   (1 bf16 pass, schoolbook)  ~2.5e-3 error, fastest
 #   'kara_x3' (Karatsuba of bf16x3)      ~8e-6 error   ('fused_mp')
 #   'kara_hp' (Karatsuba of full f32)    ~4e-7 error   ('fused_hp')
 # Precision.HIGH is not supported by Mosaic; 'bf16x3' is the manual
@@ -136,22 +212,23 @@ def _cmm(ar, ai, br, bi, contract, prec):
     return re, im
 
 
-def _dft2(nr, ni, fr, fi, prec):
-    """(F @ near @ F^T) for near (nprb, nprb), F (ndet, nprb) split re/im.
-    Returns farplane (ndet, ndet) re/im."""
-    # t = F @ near : (ndet, nprb)
-    tr, ti = _cmm(fr, fi, nr, ni, ((1,), (0,)), prec)
-    # far = t @ F^T : contract t dim1 with F dim1
-    return _cmm(tr, ti, fr, fi, ((1,), (1,)), prec)
+def _dft2(nr, ni, ar, ai, bcr, bci, prec):
+    """(A @ near @ B^T) for near (rows, nprb), row factor A (ndet, rows)
+    -- the v2 variant-selected extended factor or the plain v1 factor --
+    and column factor B (ndet, nprb). Returns farplane (ndet, ndet)."""
+    # t = A @ near : (ndet, nprb)
+    tr, ti = _cmm(ar, ai, nr, ni, ((1,), (0,)), prec)
+    # far = t @ B^T : contract t dim1 with B dim1
+    return _cmm(tr, ti, bcr, bci, ((1,), (1,)), prec)
 
 
-def _idft2(gr, gi, fr, fi, prec):
-    """Adjoint of :func:`_dft2`: (F^H @ far @ conj(F)) for far (ndet,
-    ndet). Returns nearplane (nprb, nprb) re/im."""
-    # t = F^H @ far : (nprb, ndet); F^H = conj(F)^T
-    tr, ti = _cmm(fr, -fi, gr, gi, ((0,), (0,)), prec)
-    # near = t @ conj(F) : contract t dim1 (ndet) with F dim0
-    return _cmm(tr, ti, fr, -fi, ((1,), (0,)), prec)
+def _idft2(gr, gi, ar, ai, bcr, bci, prec):
+    """Adjoint of :func:`_dft2`: (A^H @ far @ conj(B)) for far (ndet,
+    ndet). Returns nearplane (rows, nprb)."""
+    # t = A^H @ far : (rows, ndet); A^H = conj(A)^T
+    tr, ti = _cmm(ar, -ai, gr, gi, ((0,), (0,)), prec)
+    # near = t @ conj(B) : contract t dim1 (ndet) with B dim0
+    return _cmm(tr, ti, bcr, -bci, ((1,), (0,)), prec)
 
 
 # Phase-separated frame processing: the mega-kernels below run their
@@ -170,16 +247,115 @@ def _idft2(gr, gi, fr, fi, prec):
 # the bigger live set degrades double-buffering.
 
 
-def _dft2_many(nrs, nis, fr, fi, prec):
-    """DFT2 over a list of nearplanes; returns lists of farplane re/im."""
-    out = [_dft2(nr, ni, fr, fi, prec) for nr, ni in zip(nrs, nis)]
+def _dft2_many(nrs, nis, f1rs, f1is, bcr, bci, prec):
+    """DFT2 over a list of nearplanes with per-frame row factors."""
+    out = [_dft2(nr, ni, ar, ai, bcr, bci, prec)
+           for nr, ni, ar, ai in zip(nrs, nis, f1rs, f1is)]
     return [o[0] for o in out], [o[1] for o in out]
 
 
-def _idft2_many(grs, gis, fr, fi, prec):
+def _idft2_many(grs, gis, f1rs, f1is, bcr, bci, prec):
     """Adjoint of :func:`_dft2_many`."""
-    out = [_idft2(gr, gi, fr, fi, prec) for gr, gi in zip(grs, gis)]
+    out = [_idft2(gr, gi, ar, ai, bcr, bci, prec)
+           for gr, gi, ar, ai in zip(grs, gis, f1rs, f1is)]
     return [o[0] for o in out], [o[1] for o in out]
+
+
+# --- in-kernel scheme helpers ---------------------------------------------
+
+
+def _gather_block(v2, pre, pim, y, x, nprb):
+    """Gathered patch (re, im, ry): (nprb, nprb) in v1, row-extended
+    (nprb+8, nprb) in v2 (ry = 0 statically in v1: unused)."""
+    if v2:
+        ar, ry = _load_patch_ext(pre, y, x, nprb)
+        ai, _ = _load_patch_ext(pim, y, x, nprb)
+        return ar, ai, ry
+    return (_load_patch(pre, y, x, nprb),
+            _load_patch(pim, y, x, nprb), 0)
+
+
+def _prb_block(v2, bre, bim, ry, m):
+    """Probe mode block matching the gathered patch rows."""
+    if v2:
+        if _V2ABL:
+            return bre[0, 0, m], bim[0, 0, m]
+        return bre[0, ry, m], bim[0, ry, m]
+    return bre[0, m], bim[0, m]
+
+
+def _row_factor_list(v2, f1r, f1i, rys, nmodes):
+    """Per-frame stage-1 factor operands (one table select per
+    position, shared across its modes)."""
+    if v2:
+        if _V2ABL:
+            sel = [(f1r[0], f1i[0])] * len(rys)
+        else:
+            sel = [(f1r[ry], f1i[ry]) for ry in rys]
+    else:
+        fr = f1r[...]
+        fi = f1i[...]
+        sel = [(fr, fi)] * len(rys)
+    return ([s[0] for s in sel for _ in range(nmodes)],
+            [s[1] for s in sel for _ in range(nmodes)])
+
+
+def _scatter_block(v2, ore, oim, acc_re, acc_im, y, x, nprb):
+    if v2:
+        _accum_patch_ext(ore, acc_re, y, x, nprb)
+        _accum_patch_ext(oim, acc_im, y, x, nprb)
+    else:
+        _accum_patch(ore, acc_re, y, x, nprb)
+        _accum_patch(oim, acc_im, y, x, nprb)
+
+
+def _acc_rows(v2, nprb):
+    return nprb + _SUB if v2 else nprb
+
+
+# --- wrapper-side scheme helpers ------------------------------------------
+
+
+def _factor_args(ndet, nprb, v2):
+    """(args, specs) for the stage-1 row factor (8-variant table in v2)
+    and the stage-2 column factor."""
+    fcr, fci = _dft_factors(ndet, nprb)
+    fc_spec = pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0))
+    if v2:
+        wh = _window_hw2(nprb)[0]
+        f1r, f1i = _dft_row_factors(ndet, wh)
+        f1_spec = pl.BlockSpec((_SUB, ndet, wh),
+                               lambda i, j, *_: (0, 0, 0))
+    else:
+        f1r, f1i = fcr, fci
+        f1_spec = fc_spec
+    return [f1r, f1i, fcr, fci], [f1_spec, f1_spec, fc_spec, fc_spec]
+
+
+def _probe_args(prb, v2):
+    """(args, specs) for the probe blocks (8-variant row-placed table in
+    v2)."""
+    t, nmodes, nprb, _ = prb.shape
+    bre, bim = _split_c64(prb)
+    if v2:
+        wh = _window_hw2(nprb)[0]
+        bre, bim = _probe_variants(bre, bim, wh)
+        spec = pl.BlockSpec((1, _SUB, nmodes, wh, nprb),
+                            lambda i, j, *_: (i, 0, 0, 0, 0))
+    else:
+        spec = pl.BlockSpec((1, nmodes, nprb, nprb),
+                            lambda i, j, *_: (i, 0, 0, 0))
+    return [bre, bim], [spec, spec]
+
+
+def _object_args(psi, nprb, v2):
+    """(args, spec, (hz, wn)) for the margin-padded object planes."""
+    t, nz, n = psi.shape
+    wh, ww = _win(nprb, v2)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+    pre, pim = (_pad_object(a, nprb, (wh, ww)) for a in _split_c64(psi))
+    spec = pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0))
+    return [pre, pim], spec, (hz, wn)
 
 
 # ---------------------------------------------------------------------------
@@ -187,26 +363,26 @@ def _idft2_many(grs, gis, fr, fi, prec):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(P, nmodes, nprb, prec, has_base, sy, sx, fr, fi, pre, pim,
-                bre, bim, *rest):
+def _fwd_kernel(P, nmodes, nprb, prec, has_base, v2, sy, sx, f1r, f1i,
+                fcr, fci, pre, pim, bre, bim, *rest):
     if has_base:
         zre, zim, ore, oim = rest
     else:
         ore, oim = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
-    nrs, nis = [], []
+    rys, nrs, nis = [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
+        ar, ai, ry = _gather_block(v2, pre, pim, y, x, nprb)
+        rys.append(ry)
         for m in range(nmodes):
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
     for p in range(P):
         for m in range(nmodes):
             k = p * nmodes + m
@@ -222,8 +398,8 @@ def _fwd_kernel(P, nmodes, nprb, prec, has_base, sy, sx, fr, fi, pre, pim,
 
 
 def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
-        ndet: int, precision=None, base: jax.Array | None = None
-        ) -> jax.Array:
+        ndet: int, precision=None, base: jax.Array | None = None,
+        addressing: str | None = None) -> jax.Array:
     """Fused forward: farplane[t,s,m] = DFT2(pad(psi[patch(s)] * prb[m])).
 
     With ``base`` (same shape as the output), returns DFT2(...) + base,
@@ -234,29 +410,19 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
-    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
-    bre, bim = _split_c64(prb)
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
-    hz, wn = nz + wh - nprb, n + ww - nprb
+    obj_args, obj_spec, _ = _object_args(psi, nprb, v2)
+    prb_args, prb_specs = _probe_args(prb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
 
     frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
                               lambda i, j, *_: (i, j, 0, 0, 0))
-    in_specs = [
-        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, nmodes, nprb, nprb),
-                     lambda i, j, *_: (i, 0, 0, 0)),
-        pl.BlockSpec((1, nmodes, nprb, nprb),
-                     lambda i, j, *_: (i, 0, 0, 0)),
-    ]
-    args = [sy, sx, fr, fi, pre, pim, bre, bim]
+    in_specs = fac_specs + [obj_spec, obj_spec] + prb_specs
+    args = [sy, sx] + fac_args + obj_args + prb_args
     if base is not None:
         zre, zim = (_pad_axis1(a, s_pad) for a in _split_c64(base))
         in_specs += [frame_spec, frame_spec]
@@ -273,7 +439,7 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     ]
     ore, oim = pl.pallas_call(
         functools.partial(_fwd_kernel, P, nmodes, nprb,
-                          precision or PRECISION, base is not None),
+                          precision or PRECISION, base is not None, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -286,8 +452,8 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _adj_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, bre, bim,
-                ore, oim):
+def _adj_kernel(P, nmodes, nprb, prec, v2, sy, sx, f1r, f1i, fcr, fci,
+                gre, gim, bre, bim, ore, oim):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -296,28 +462,33 @@ def _adj_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, bre, bim,
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
 
-    ars, ais = _idft2_many(
-        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
-        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
-        fr[...], fi[...], prec)
+    ys, xs, rys = [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        acc_re = jnp.zeros((nprb, nprb), jnp.float32)
-        acc_im = jnp.zeros((nprb, nprb), jnp.float32)
+        ys.append(y)
+        xs.append(x)
+        rys.append(y % _SUB if v2 else 0)
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    ars, ais = _idft2_many(
+        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
+        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
+        f1rs, f1is, fcr[...], fci[...], prec)
+    rows = _acc_rows(v2, nprb)
+    for p in range(P):
+        acc_re = jnp.zeros((rows, nprb), jnp.float32)
+        acc_im = jnp.zeros((rows, nprb), jnp.float32)
         for m in range(nmodes):
             k = p * nmodes + m
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, rys[p], m)
             # conj(prb) * near
             acc_re = acc_re + (br * ars[k] + bi * ais[k])
             acc_im = acc_im + (br * ais[k] - bi * ars[k])
-        _accum_patch(ore, acc_re, y, x, nprb)
-        _accum_patch(oim, acc_im, y, x, nprb)
+        _scatter_block(v2, ore, oim, acc_re, acc_im, ys[p], xs[p], nprb)
 
 
 def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
-        n: int, precision=None) -> jax.Array:
+        n: int, precision=None, addressing: str | None = None) -> jax.Array:
     """Fused adjoint-to-object: IDFT, crop, conj(prb)-multiply, mode-sum,
     deterministic overlap scatter-add -- one pass over the farplane.
 
@@ -325,6 +496,7 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
     """
     t, s, nmodes, ndet, _ = farplane.shape
     nprb = prb.shape[-1]
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
@@ -332,39 +504,28 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
     gre, gim = _split_c64(farplane)
     gre = _pad_axis1(gre, s_pad)
     gim = _pad_axis1(gim, s_pad)
-    bre, bim = _split_c64(prb)
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
+    prb_args, prb_specs = _probe_args(prb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
+    wh, ww = _win(nprb, v2)
     hz, wn = nz + wh - nprb, n + ww - nprb
 
+    frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                              lambda i, j, *_: (i, j, 0, 0, 0))
+    obj_spec = pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        ],
+        in_specs=fac_specs + [frame_spec, frame_spec] + prb_specs,
+        out_specs=[obj_spec, obj_spec],
     )
     out_shape = [
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
     ]
-    args = (sy, sx, fr, fi, gre, gim, bre, bim)
+    args = [sy, sx] + fac_args + [gre, gim] + prb_args
     ore, oim = pl.pallas_call(
         functools.partial(_adj_kernel, P, nmodes, nprb,
-                          precision or PRECISION),
+                          precision or PRECISION, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -374,11 +535,15 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
 
 # ---------------------------------------------------------------------------
 # adj (probe): IDFT + conj-patch + reduce over positions, one kernel.
+# In v2 the per-position sublane residual would need an (unavailable)
+# inverse sublane shift before the probe-frame accumulation, so the
+# reduction goes into an 8-bin accumulator indexed by ry; the bins are
+# combined with 8 static row-shifted adds on the XLA side.
 # ---------------------------------------------------------------------------
 
 
-def _adj_probe_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, pre,
-                      pim, ore, oim):
+def _adj_probe_kernel(P, nmodes, nprb, prec, v2, sy, sx, f1r, f1i, fcr,
+                      fci, gre, gim, pre, pim, ore, oim):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -387,31 +552,54 @@ def _adj_probe_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, gre, gim, pre,
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
 
-    ars, ais = _idft2_many(
-        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
-        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
-        fr[...], fi[...], prec)
+    ys, xs, rys, pats = [], [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        pr = _load_patch(pre, y, x, nprb)
-        pi = _load_patch(pim, y, x, nprb)
+        ar, ai, ry = _gather_block(v2, pre, pim, y, x, nprb)
+        ys.append(y)
+        xs.append(x)
+        rys.append(ry)
+        pats.append((ar, ai))
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    ars, ais = _idft2_many(
+        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
+        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
+        f1rs, f1is, fcr[...], fci[...], prec)
+    for p in range(P):
+        ar, ai = pats[p]
         for m in range(nmodes):
             k = p * nmodes + m
             # conj(psi_patch) * near
-            ore[0, m] += pr * ars[k] + pi * ais[k]
-            oim[0, m] += pr * ais[k] - pi * ars[k]
+            vr = ar * ars[k] + ai * ais[k]
+            vi = ar * ais[k] - ai * ars[k]
+            if v2:
+                # Rows outside [ry, ry+nprb) hold garbage (unmasked
+                # object rows x wrapped IDFT rows); the XLA-side bin
+                # combine reads only the valid rows of each bin.
+                ore[0, rys[p], m] += vr
+                oim[0, rys[p], m] += vi
+            else:
+                ore[0, m] += vr
+                oim[0, m] += vi
+
+
+def _combine_probe_bins(o, nprb):
+    """(t, 8, nmodes, wh, nprb) ry-binned accumulators -> (t, nmodes,
+    nprb, nprb): bin ry's valid rows start at ry."""
+    return sum(o[:, ry, :, ry:ry + nprb, :] for ry in range(_SUB))
 
 
 def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
-              nprb: int, precision=None) -> jax.Array:
+              nprb: int, precision=None,
+              addressing: str | None = None) -> jax.Array:
     """Fused probe adjoint: IDFT + conj(patch)-multiply + reduce over all
     scan positions, one pass over the farplane.
 
     Returns ``(ntheta, nmodes, nprb, nprb)`` complex64.
     """
     t, s, nmodes, ndet, _ = farplane.shape
-    _, nz, n = psi.shape
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
@@ -419,43 +607,41 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
     gre, gim = _split_c64(farplane)
     gre = _pad_axis1(gre, s_pad)
     gim = _pad_axis1(gim, s_pad)
-    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
-    hz, wn = nz + wh - nprb, n + ww - nprb
+    obj_args, obj_spec, _ = _object_args(psi, nprb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
+    wh = _win(nprb, v2)[0]
 
+    if v2:
+        out_dims = (t, _SUB, nmodes, wh, nprb)
+        out_spec = pl.BlockSpec((1, _SUB, nmodes, wh, nprb),
+                                lambda i, j, *_: (i, 0, 0, 0, 0))
+    else:
+        out_dims = (t, nmodes, nprb, nprb)
+        out_spec = pl.BlockSpec((1, nmodes, nprb, nprb),
+                                lambda i, j, *_: (i, 0, 0, 0))
+    frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                              lambda i, j, *_: (i, j, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-        ],
+        in_specs=fac_specs + [frame_spec, frame_spec, obj_spec, obj_spec],
+        out_specs=[out_spec, out_spec],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
-        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
+        jax.ShapeDtypeStruct(out_dims, jnp.float32),
+        jax.ShapeDtypeStruct(out_dims, jnp.float32),
     ]
-    args = (sy, sx, fr, fi, gre, gim, pre, pim)
+    args = [sy, sx] + fac_args + [gre, gim] + obj_args
     ore, oim = pl.pallas_call(
         functools.partial(_adj_probe_kernel, P, nmodes, nprb,
-                          precision or PRECISION),
+                          precision or PRECISION, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
     )(*args)
+    if v2:
+        ore = _combine_probe_bins(ore, nprb)
+        oim = _combine_probe_bins(oim, nprb)
     return lax.complex(ore, oim)
 
 
@@ -464,8 +650,27 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx,
-                         fr, fi, gre, gim, dat, bre, bim, ore, oim, fsum):
+def _likelihood_factor(model, frs, fis, dat_p, valid, nmodes, k0):
+    """Shared pointwise phase: incoherent intensity over modes,
+    residual factor, objective contribution (masked by ``valid``)."""
+    intensity = jnp.zeros_like(dat_p)
+    for m in range(nmodes):
+        intensity = intensity + frs[k0 + m] ** 2 + fis[k0 + m] ** 2
+    d = jnp.maximum(dat_p, 0.0)
+    if model == "gaussian":
+        amp = jnp.sqrt(intensity + 1e-12)
+        sq = jnp.sqrt(d)
+        factor = (1.0 - sq / amp) * valid
+        minf = valid * jnp.sum((amp - sq) ** 2)
+    else:  # poisson
+        factor = (1.0 - d / (intensity + 1e-8)) * valid
+        minf = valid * jnp.sum(intensity - d * jnp.log(intensity + 1e-8))
+    return factor, minf
+
+
+def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
+                         sx, f1r, f1i, fcr, fci, gre, gim, dat, bre, bim,
+                         ore, oim, fsum):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -476,52 +681,46 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx,
         fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
-    rrs, ris = [], []
+    ys, xs, rys, rrs, ris = [], [], [], [], []
     for p in range(P):
         idx = j * P + p
+        y = sy[i, idx]
+        x = sx[i, idx]
+        ys.append(y)
+        xs.append(x)
+        rys.append(y % _SUB if v2 else 0)
         # Mask padded tail positions (idx >= s_actual): for gaussian the
         # eps guard makes a zero frame contribute ndet^2 * 1e-12 to minf,
         # so zero-padding alone is not enough (same masking as
         # _grad_kernel).
         valid = jnp.where(idx < s_actual, jnp.float32(1.0),
                           jnp.float32(0.0))
-        # Incoherent intensity over modes, residual factor, objective.
-        intensity = jnp.zeros_like(dat[0, p])
+        frames_r = [gre[0, p, m] for m in range(nmodes)]
+        frames_i = [gim[0, p, m] for m in range(nmodes)]
+        factor, minf = _likelihood_factor(model, frames_r, frames_i,
+                                          dat[0, p], valid, nmodes, 0)
+        minf_acc = minf_acc + minf
         for m in range(nmodes):
-            intensity = intensity + gre[0, p, m] ** 2 + gim[0, p, m] ** 2
-        d = jnp.maximum(dat[0, p], 0.0)
-        if model == "gaussian":
-            amp = jnp.sqrt(intensity + 1e-12)
-            sq = jnp.sqrt(d)
-            factor = (1.0 - sq / amp) * valid
-            minf_acc = minf_acc + valid * jnp.sum((amp - sq) ** 2)
-        else:  # poisson
-            factor = (1.0 - d / (intensity + 1e-8)) * valid
-            minf_acc = minf_acc + valid * jnp.sum(
-                intensity - d * jnp.log(intensity + 1e-8))
-        for m in range(nmodes):
-            rrs.append(gre[0, p, m] * factor)
-            ris.append(gim[0, p, m] * factor)
-    ars, ais = _idft2_many(rrs, ris, fr[...], fi[...], prec)
+            rrs.append(frames_r[m] * factor)
+            ris.append(frames_i[m] * factor)
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    ars, ais = _idft2_many(rrs, ris, f1rs, f1is, fcr[...], fci[...], prec)
+    rows = _acc_rows(v2, nprb)
     for p in range(P):
-        y = sy[i, j * P + p]
-        x = sx[i, j * P + p]
-        acc_re = jnp.zeros((nprb, nprb), jnp.float32)
-        acc_im = jnp.zeros((nprb, nprb), jnp.float32)
+        acc_re = jnp.zeros((rows, nprb), jnp.float32)
+        acc_im = jnp.zeros((rows, nprb), jnp.float32)
         for m in range(nmodes):
             k = p * nmodes + m
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, rys[p], m)
             acc_re = acc_re + (br * ars[k] + bi * ais[k])
             acc_im = acc_im + (br * ais[k] - bi * ars[k])
-        _accum_patch(ore, acc_re, y, x, nprb)
-        _accum_patch(oim, acc_im, y, x, nprb)
+        _scatter_block(v2, ore, oim, acc_re, acc_im, ys[p], xs[p], nprb)
     fsum[0, 0] += minf_acc
 
 
 def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
                  prb: jax.Array, nz: int, n: int, model: str,
-                 precision=None):
+                 precision=None, addressing: str | None = None):
     """Whole gradient tail in one pass over the farplane: compute the
     likelihood residual (gaussian or poisson), the scalar objective, the
     IDFT, the conj-probe multiply, and the deterministic overlap scatter.
@@ -531,6 +730,7 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
     """
     t, s, nmodes, ndet, _ = farplane.shape
     nprb = prb.shape[-1]
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
@@ -540,31 +740,24 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
     gim = _pad_axis1(gim, s_pad)
     # Padded tail frames are masked out inside the kernel (idx >= s).
     dat = _pad_axis1(data.astype(jnp.float32), s_pad)
-    bre, bim = _split_c64(prb)
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
+    prb_args, prb_specs = _probe_args(prb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
+    wh, ww = _win(nprb, v2)
     hz, wn = nz + wh - nprb, n + ww - nprb
 
+    frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                              lambda i, j, *_: (i, j, 0, 0, 0))
+    data_spec = pl.BlockSpec((1, P, ndet, ndet),
+                             lambda i, j, *_: (i, j, 0, 0))
+    obj_spec = pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, P, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-        ],
+        in_specs=(fac_specs + [frame_spec, frame_spec, data_spec]
+                  + prb_specs),
         out_specs=[
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
+            obj_spec,
+            obj_spec,
             pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -574,10 +767,10 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
         jax.ShapeDtypeStruct((t, 1), jnp.float32),
     ]
-    args = (sy, sx, fr, fi, gre, gim, dat, bre, bim)
+    args = [sy, sx] + fac_args + [gre, gim, dat] + prb_args
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_adj_residual_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s),
+                          precision or PRECISION, s, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -591,22 +784,23 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_quad_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, dre, dim_, bre,
-                     bim, pre_psi, pim_psi, oa, ob, oc):
+def _fwd_quad_kernel(P, nmodes, nprb, prec, v2, sy, sx, f1r, f1i, fcr,
+                     fci, dre, dim_, bre, bim, pre_psi, pim_psi, oa, ob,
+                     oc):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    nrs, nis = [], []
+    rys, nrs, nis = [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        ar = _load_patch(dre, y, x, nprb)
-        ai = _load_patch(dim_, y, x, nprb)
+        ar, ai, ry = _gather_block(v2, dre, dim_, y, x, nprb)
+        rys.append(ry)
         for m in range(nmodes):
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    fds, fdis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    fds, fdis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
     for p in range(P):
         a = jnp.zeros((oa.shape[-2], oa.shape[-1]), jnp.float32)
         b = jnp.zeros_like(a)
@@ -625,7 +819,8 @@ def _fwd_quad_kernel(P, nmodes, nprb, prec, sy, sx, fr, fi, dre, dim_, bre,
 
 
 def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
-                   fpsi: jax.Array, precision=None):
+                   fpsi: jax.Array, precision=None,
+                   addressing: str | None = None):
     """Line-search sufficient statistics in one pass: computes the
     direction farplane G(dpsi) frame-by-frame in VMEM (gather + probe
     multiply + MXU DFT) and immediately reduces it against the current
@@ -641,46 +836,35 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     """
     t, s, nmodes, ndet, _ = fpsi.shape
     nprb = prb.shape[-1]
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
-    dre, dim_ = (_pad_object(x, nprb) for x in _split_c64(dpsi))
-    bre, bim = _split_c64(prb)
+    obj_args, obj_spec, _ = _object_args(dpsi, nprb, v2)
+    prb_args, prb_specs = _probe_args(prb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
     fre, fim = (_pad_axis1(x, s_pad) for x in _split_c64(fpsi))
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
-    hz, wn = dpsi.shape[1] + wh - nprb, dpsi.shape[2] + ww - nprb
 
     stat_spec = pl.BlockSpec((1, P, ndet, ndet),
                              lambda i, j, *_: (i, j, 0, 0))
+    frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
+                              lambda i, j, *_: (i, j, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0, 0)),
-        ],
+        in_specs=(fac_specs + [obj_spec, obj_spec] + prb_specs
+                  + [frame_spec, frame_spec]),
         out_specs=[stat_spec, stat_spec, stat_spec],
     )
     out_shape = [
         jax.ShapeDtypeStruct((t, s_pad, ndet, ndet), jnp.float32)
         for _ in range(3)
     ]
-    args = (sy, sx, fr, fi, dre, dim_, bre, bim, fre, fim)
+    args = [sy, sx] + fac_args + obj_args + prb_args + [fre, fim]
     oa, ob, oc = pl.pallas_call(
         functools.partial(_fwd_quad_kernel, P, nmodes, nprb,
-                          precision or PRECISION),
+                          precision or PRECISION, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -697,8 +881,9 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
-                 fr, fi, pre, pim, dat, bre, bim, *rest):
+def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
+                 sy, sx, f1r, f1i, fcr, fci, pre, pim, dat, bre, bim,
+                 *rest):
     if has_base:
         zre, zim, ore, oim, fsum = rest
     else:
@@ -713,20 +898,20 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
         fsum[0, 0] = jnp.float32(0.0)
 
     # Phase A: gather + probe multiply -> all P*nmodes nearplanes.
-    ys, xs, nrs, nis = [], [], [], []
+    ys, xs, rys, nrs, nis = [], [], [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
+        ar, ai, ry = _gather_block(v2, pre, pim, y, x, nprb)
         ys.append(y)
         xs.append(x)
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
+        rys.append(ry)
         for m in range(nmodes):
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
 
     # Phase B: likelihood residual factor + objective per position.
     minf_acc = jnp.zeros((), jnp.float32)
@@ -736,49 +921,42 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
         # frames; mask their objective and residual to exactly zero.
         valid = jnp.where(idx < s_actual, jnp.float32(1.0),
                           jnp.float32(0.0))
-        intensity = jnp.zeros_like(dat[0, p])
-        for m in range(nmodes):
-            k = p * nmodes + m
-            if has_base:
-                # Split-operator mode: the frame is G(base) + G(delta),
-                # with the accurate base farplane read from HBM.
+        if has_base:
+            # Split-operator mode: the frame is G(base) + G(delta), with
+            # the accurate base farplane read from HBM. (Both schemes
+            # produce true, phase-correct farplanes, so the add is
+            # direct.)
+            for m in range(nmodes):
+                k = p * nmodes + m
                 frs[k] = frs[k] + zre[0, p, m]
                 fis[k] = fis[k] + zim[0, p, m]
-            intensity = intensity + frs[k] * frs[k] + fis[k] * fis[k]
-        d = jnp.maximum(dat[0, p], 0.0)
-        if model == "gaussian":
-            amp = jnp.sqrt(intensity + 1e-12)
-            sq = jnp.sqrt(d)
-            factor = (1.0 - sq / amp) * valid
-            minf_acc = minf_acc + valid * jnp.sum((amp - sq) ** 2)
-        else:  # poisson
-            factor = (1.0 - d / (intensity + 1e-8)) * valid
-            minf_acc = minf_acc + valid * jnp.sum(
-                intensity - d * jnp.log(intensity + 1e-8))
+        factor, minf = _likelihood_factor(model, frs, fis, dat[0, p],
+                                          valid, nmodes, p * nmodes)
+        minf_acc = minf_acc + minf
         for m in range(nmodes):
             k = p * nmodes + m
             frs[k] = frs[k] * factor
             fis[k] = fis[k] * factor
-    ars, ais = _idft2_many(frs, fis, fr[...], fi[...], prec)
+    ars, ais = _idft2_many(frs, fis, f1rs, f1is, fcr[...], fci[...], prec)
 
     # Phase C: conj-probe multiply, mode-sum, overlap scatter.
+    rows = _acc_rows(v2, nprb)
     for p in range(P):
-        acc_re = jnp.zeros((nprb, nprb), jnp.float32)
-        acc_im = jnp.zeros((nprb, nprb), jnp.float32)
+        acc_re = jnp.zeros((rows, nprb), jnp.float32)
+        acc_im = jnp.zeros((rows, nprb), jnp.float32)
         for m in range(nmodes):
             k = p * nmodes + m
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, rys[p], m)
             acc_re = acc_re + (br * ars[k] + bi * ais[k])
             acc_im = acc_im + (br * ais[k] - bi * ars[k])
-        _accum_patch(ore, acc_re, ys[p], xs[p], nprb)
-        _accum_patch(oim, acc_im, ys[p], xs[p], nprb)
+        _scatter_block(v2, ore, oim, acc_re, acc_im, ys[p], xs[p], nprb)
     fsum[0, 0] += minf_acc
 
 
 def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                prb: jax.Array, ndet: int, model: str, precision=None,
-               base: jax.Array | None = None):
+               base: jax.Array | None = None,
+               addressing: str | None = None):
     """Full likelihood gradient w.r.t. the object plus the objective in a
     single kernel pass (no farplane in HBM). With ``base``, the forward
     field is G(psi) + base (split-operator refinement: psi is a small
@@ -790,30 +968,20 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
-    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    obj_args, obj_spec, (hz, wn) = _object_args(psi, nprb, v2)
     dat = _pad_axis1(data.astype(jnp.float32), s_pad)
-    bre, bim = _split_c64(prb)
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
-    hz, wn = nz + wh - nprb, n + ww - nprb
+    prb_args, prb_specs = _probe_args(prb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
 
-    in_specs = [
-        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, P, ndet, ndet),
-                     lambda i, j, *_: (i, j, 0, 0)),
-        pl.BlockSpec((1, nmodes, nprb, nprb),
-                     lambda i, j, *_: (i, 0, 0, 0)),
-        pl.BlockSpec((1, nmodes, nprb, nprb),
-                     lambda i, j, *_: (i, 0, 0, 0)),
-    ]
-    args = [sy, sx, fr, fi, pre, pim, dat, bre, bim]
+    data_spec = pl.BlockSpec((1, P, ndet, ndet),
+                             lambda i, j, *_: (i, j, 0, 0))
+    in_specs = fac_specs + [obj_spec, obj_spec, data_spec] + prb_specs
+    args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
     if base is not None:
         frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
                                   lambda i, j, *_: (i, j, 0, 0, 0))
@@ -837,7 +1005,8 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     ]
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s, base is not None),
+                          precision or PRECISION, s, base is not None,
+                          v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -845,8 +1014,9 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     return lax.complex(ore, oim)[:, :nz, :n], jnp.sum(fsum)
 
 
-def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
-                 fr, fi, pre, pim, dat, bre, bim, *rest):
+def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
+                 sy, sx, f1r, f1i, fcr, fci, pre, pim, dat, bre, bim,
+                 *rest):
     if has_base:
         zre, zim, fsum = rest
     else:
@@ -858,18 +1028,18 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
     def _():
         fsum[0, 0] = jnp.float32(0.0)
 
-    nrs, nis = [], []
+    rys, nrs, nis = [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
+        ar, ai, ry = _gather_block(v2, pre, pim, y, x, nprb)
+        rys.append(ry)
         for m in range(nmodes):
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
 
     minf_acc = jnp.zeros((), jnp.float32)
     for p in range(P):
@@ -896,7 +1066,8 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, sy, sx,
 
 def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                prb: jax.Array, ndet: int, model: str, precision=None,
-               base: jax.Array | None = None):
+               base: jax.Array | None = None,
+               addressing: str | None = None):
     """Objective evaluation with NOTHING farplane-sized in HBM: every
     frame is produced by the MXU DFT in VMEM and reduced into the SMEM
     accumulator on the spot. This is the fully-frameless line-search
@@ -910,30 +1081,20 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
-    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    obj_args, obj_spec, _ = _object_args(psi, nprb, v2)
     dat = _pad_axis1(data.astype(jnp.float32), s_pad)
-    bre, bim = _split_c64(prb)
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
-    hz, wn = nz + wh - nprb, n + ww - nprb
+    prb_args, prb_specs = _probe_args(prb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
 
-    in_specs = [
-        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-        pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, P, ndet, ndet),
-                     lambda i, j, *_: (i, j, 0, 0)),
-        pl.BlockSpec((1, nmodes, nprb, nprb),
-                     lambda i, j, *_: (i, 0, 0, 0)),
-        pl.BlockSpec((1, nmodes, nprb, nprb),
-                     lambda i, j, *_: (i, 0, 0, 0)),
-    ]
-    args = [sy, sx, fr, fi, pre, pim, dat, bre, bim]
+    data_spec = pl.BlockSpec((1, P, ndet, ndet),
+                             lambda i, j, *_: (i, j, 0, 0))
+    in_specs = fac_specs + [obj_spec, obj_spec, data_spec] + prb_specs
+    args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
     if base is not None:
         frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
                                   lambda i, j, *_: (i, j, 0, 0, 0))
@@ -951,7 +1112,8 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     out_shape = [jax.ShapeDtypeStruct((t, 1), jnp.float32)]
     (fsum,) = pl.pallas_call(
         functools.partial(_minf_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s, base is not None),
+                          precision or PRECISION, s, base is not None,
+                          v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -961,12 +1123,14 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
 
 # ---------------------------------------------------------------------------
 # Probe-gradient mega-kernel: fwd + residual + objective + probe adjoint
-# in one pass (the joint-recovery analogue of grad_fused).
+# in one pass (the joint-recovery analogue of grad_fused). v2 uses the
+# same ry-binned probe accumulator as _adj_probe_kernel.
 # ---------------------------------------------------------------------------
 
 
-def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr,
-                     fi, pre, pim, dat, bre, bim, ore, oim, fsum):
+def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
+                     f1r, f1i, fcr, fci, pre, pim, dat, bre, bim, ore,
+                     oim, fsum):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -977,57 +1141,52 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, sy, sx, fr,
         fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
-    pats = []
-    nrs, nis = [], []
+    rys, pats, nrs, nis = [], [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
+        ar, ai, ry = _gather_block(v2, pre, pim, y, x, nprb)
+        rys.append(ry)
         pats.append((ar, ai))
         for m in range(nmodes):
-            br = bre[0, m]
-            bi = bim[0, m]
+            br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    frs, fis = _dft2_many(nrs, nis, fr[...], fi[...], prec)
+    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
+    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
 
     for p in range(P):
         idx = j * P + p
         valid = jnp.where(idx < s_actual, jnp.float32(1.0),
                           jnp.float32(0.0))
-        intensity = jnp.zeros_like(dat[0, p])
-        for m in range(nmodes):
-            k = p * nmodes + m
-            intensity = intensity + frs[k] * frs[k] + fis[k] * fis[k]
-        d = jnp.maximum(dat[0, p], 0.0)
-        if model == "gaussian":
-            amp = jnp.sqrt(intensity + 1e-12)
-            sq = jnp.sqrt(d)
-            factor = (1.0 - sq / amp) * valid
-            minf_acc = minf_acc + valid * jnp.sum((amp - sq) ** 2)
-        else:  # poisson
-            factor = (1.0 - d / (intensity + 1e-8)) * valid
-            minf_acc = minf_acc + valid * jnp.sum(
-                intensity - d * jnp.log(intensity + 1e-8))
+        factor, minf = _likelihood_factor(model, frs, fis, dat[0, p],
+                                          valid, nmodes, p * nmodes)
+        minf_acc = minf_acc + minf
         for m in range(nmodes):
             k = p * nmodes + m
             frs[k] = frs[k] * factor
             fis[k] = fis[k] * factor
-    ars, ais = _idft2_many(frs, fis, fr[...], fi[...], prec)
+    ars, ais = _idft2_many(frs, fis, f1rs, f1is, fcr[...], fci[...], prec)
 
     for p in range(P):
         ar, ai = pats[p]
         for m in range(nmodes):
             k = p * nmodes + m
             # conj(psi_patch) * near accumulated into the probe mode
-            ore[0, m] += ar * ars[k] + ai * ais[k]
-            oim[0, m] += ar * ais[k] - ai * ars[k]
+            vr = ar * ars[k] + ai * ais[k]
+            vi = ar * ais[k] - ai * ars[k]
+            if v2:
+                ore[0, rys[p], m] += vr
+                oim[0, rys[p], m] += vi
+            else:
+                ore[0, m] += vr
+                oim[0, m] += vi
     fsum[0, 0] += minf_acc
 
 
 def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
-                   prb: jax.Array, ndet: int, model: str, precision=None):
+                   prb: jax.Array, ndet: int, model: str, precision=None,
+                   addressing: str | None = None):
     """Full likelihood gradient w.r.t. the probe plus the objective in a
     single kernel pass (no farplane in HBM).
 
@@ -1038,52 +1197,53 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
+    v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
-    pre, pim = (_pad_object(a, nprb) for a in _split_c64(psi))
+    obj_args, obj_spec, _ = _object_args(psi, nprb, v2)
     dat = _pad_axis1(data.astype(jnp.float32), s_pad)
-    bre, bim = _split_c64(prb)
-    fr, fi = _dft_factors(ndet, nprb)
-    wh, ww = _window_hw(nprb)
-    hz, wn = nz + wh - nprb, n + ww - nprb
+    prb_args, prb_specs = _probe_args(prb, v2)
+    fac_args, fac_specs = _factor_args(ndet, nprb, v2)
+    wh = _win(nprb, v2)[0]
 
+    if v2:
+        out_dims = (t, _SUB, nmodes, wh, nprb)
+        out_spec = pl.BlockSpec((1, _SUB, nmodes, wh, nprb),
+                                lambda i, j, *_: (i, 0, 0, 0, 0))
+    else:
+        out_dims = (t, nmodes, nprb, nprb)
+        out_spec = pl.BlockSpec((1, nmodes, nprb, nprb),
+                                lambda i, j, *_: (i, 0, 0, 0))
+    data_spec = pl.BlockSpec((1, P, ndet, ndet),
+                             lambda i, j, *_: (i, j, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
-        in_specs=[
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, P, ndet, ndet),
-                         lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-        ],
+        in_specs=(fac_specs + [obj_spec, obj_spec, data_spec]
+                  + prb_specs),
         out_specs=[
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, nmodes, nprb, nprb),
-                         lambda i, j, *_: (i, 0, 0, 0)),
+            out_spec,
+            out_spec,
             pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
-        jax.ShapeDtypeStruct((t, nmodes, nprb, nprb), jnp.float32),
+        jax.ShapeDtypeStruct(out_dims, jnp.float32),
+        jax.ShapeDtypeStruct(out_dims, jnp.float32),
         jax.ShapeDtypeStruct((t, 1), jnp.float32),
     ]
-    args = (sy, sx, fr, fi, pre, pim, dat, bre, bim)
+    args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_prb_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s),
+                          precision or PRECISION, s, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
     )(*args)
+    if v2:
+        ore = _combine_probe_bins(ore, nprb)
+        oim = _combine_probe_bins(oim, nprb)
     return lax.complex(ore, oim), jnp.sum(fsum)

@@ -103,7 +103,8 @@ def _next_pow2(v):
 
 
 def _window_hw(nprb):
-    """Aligned window shape enclosing an nprb x nprb patch at any offset.
+    """v1 aligned window shape enclosing an nprb x nprb patch at any
+    offset (both residual shifts applied with dynamic rotates).
 
     Power-of-two sizes, not just sublane/lane-aligned ones: v5e's dynamic
     sublane rotate (tpu.dynamic_rotate on axis 0) produces wrong results
@@ -114,10 +115,19 @@ def _window_hw(nprb):
             max(_next_pow2(nprb + _LANE), 2 * _LANE))
 
 
-def _pad_object(x, nprb):
+def _window_hw2(nprb):
+    """v2 addressing window (see pallas_fused): nprb+8 rows -- the
+    sublane residual is folded into the DFT row factor instead of being
+    applied with a dynamic sublane rotate, so there is no pow2 row-count
+    constraint and the window over-read halves. The lane dimension is
+    unchanged (the lane residual is applied with ONE lane roll)."""
+    return (nprb + _SUB, max(_next_pow2(nprb + _LANE), 2 * _LANE))
+
+
+def _pad_object(x, nprb, hw=None):
     """Pad (t, nz, n) by the window margins so aligned windows at any
     in-bounds scan offset stay inside the array."""
-    h, w = _window_hw(nprb)
+    h, w = hw or _window_hw(nprb)
     return jnp.pad(x, ((0, 0), (0, h - nprb), (0, w - nprb)))
 
 
@@ -167,6 +177,47 @@ def _accum_patch(ref, val, y, x, nprb):
         [padded, jnp.zeros((h - nprb, w), jnp.float32)], axis=0)
     if _NOROLL in (0, 4):
         padded = pltpu.roll(padded, ry, axis=0)
+    if _NOROLL in (0, 3):
+        padded = pltpu.roll(padded, rx, axis=1)
+    cur = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
+    ref[0, pl.ds(y0, h), pl.ds(x0, w)] = cur + padded
+
+
+# --- v2 addressing (pallas_fused's default): no sublane rotates -----------
+#
+# The sublane residual ry is NOT applied to the data at all. The gather
+# returns the row-EXTENDED patch (nprb+8, nprb) whose rows [ry, ry+nprb)
+# hold the true patch; the DFT row factor is selected from an 8-variant
+# table whose variant ry contracts exactly those rows with the correct
+# phases (pallas_fused._dft_row_factors), and the probe multiply uses an
+# 8-variant row-placed probe table. Measured motivation: the dynamic
+# sublane rotate is the dominant addressing cost on v5e (catastrophically
+# so under some libtpu builds: 207 ms/iter with both rotates vs 4.9 with
+# lane-only on the 512^2/16k headline).
+
+
+def _load_patch_ext(ref, y, x, nprb):
+    """v2 gather: aligned (nprb+8, WW) window read + ONE lane roll.
+
+    Returns the (nprb+8, nprb) extended patch (rows [ry, ry+nprb) are the
+    true patch, other rows are neighbouring object data to be masked by
+    the row-placed probe variant) and the sublane residual ry."""
+    y0, ry, x0, rx = _aligned(y, x)
+    h, w = _window_hw2(nprb)
+    win = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
+    if _NOROLL in (0, 3):  # ablation knobs 1/2/4 skip the lane roll
+        win = pltpu.roll(win, -rx, axis=1)
+    return win[:, :nprb], ry
+
+
+def _accum_patch_ext(ref, val, y, x, nprb):
+    """v2 scatter: val (nprb+8, nprb) with rows outside [ry, ry+nprb)
+    already zeroed (by the conj probe-variant multiply); lane-pad, ONE
+    lane roll, aligned read-modify-write."""
+    y0, ry, x0, rx = _aligned(y, x)
+    h, w = _window_hw2(nprb)
+    padded = jnp.concatenate(
+        [val, jnp.zeros((h, w - nprb), jnp.float32)], axis=1)
     if _NOROLL in (0, 3):
         padded = pltpu.roll(padded, rx, axis=1)
     cur = ref[0, pl.ds(y0, h), pl.ds(x0, w)]
