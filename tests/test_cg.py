@@ -191,6 +191,26 @@ def test_memory_policies_match(rng):
         run(data, psi0, scan, prb, g, piter=2, memory="bogus")
 
 
+def test_merged_linesearch_matches(rng):
+    """The merged gradient/line-search evaluation (one grad_fused pass
+    per candidate, gradient reused on acceptance) follows the same
+    candidate policy as the classic search: trajectories match."""
+    g = Geometry(nz=64, n=64, nscan=16, ndet=32, nprb=24)
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
+    for model in ("gaussian", "poisson"):
+        _, _, ma = run(data, psi0, scan, prb, g, piter=8, model=model,
+                       kernel="fused", memory="frameless")
+        _, _, mb = run(data, psi0, scan, prb, g, piter=8, model=model,
+                       kernel="fused", memory="frameless",
+                       merged_linesearch="off")
+        np.testing.assert_allclose(np.asarray(ma["minf"]),
+                                   np.asarray(mb["minf"]), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(ma["gamma"]),
+                                   np.asarray(mb["gamma"]), rtol=1e-3)
+    with pytest.raises(ValueError, match="merged_linesearch"):
+        run(data, psi0, scan, prb, g, piter=2, merged_linesearch="bogus")
+
+
 def test_precondition_options(rng):
     psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
     for pre in ["illum", "max", "none"]:

@@ -100,6 +100,11 @@ def _fused_precision(kernel: str):
         return "kara_hp"
     if kernel == "fused_mp":
         return "kara_x3"
+    # A/B knob for the fast tier now that the kernel is MXU-bound
+    # (Karatsuba = 3/4 of the MXU passes, at ~1.6x the operator error).
+    import os
+    if os.environ.get("TIKEJAX_FUSED_KARA"):
+        return "kara"
     return None
 
 

@@ -33,17 +33,26 @@ overlap scatter deterministic):
   the gather reads an (nprb+8)-row aligned window and ONE lane roll
   yields the row-extended patch whose rows [ry, ry+nprb) are the true
   patch. The probe multiply uses an 8-variant row-placed probe table
-  (zeroing the extra rows) and the stage-1 DFT factor is selected from
-  an 8-variant table ``F[k, m - ry]`` that contracts the extended rows
-  with the correct phases -- so the kernels still produce TRUE farplanes
-  and stay exact Hermitian adjoint pairs. The adjoint scatter multiplies
-  by the conj probe variant (masking the extra rows) and lands the
-  (nprb+8)-row block with one lane roll + aligned read-modify-write: no
-  sublane rotate anywhere, no pow2 row-count constraint, half the window
-  over-read, and no zero-concat on the sublane axis. Motivation
-  (measured, 512^2/16k/128^2 headline on v5e): the sublane rotate is the
-  dominant addressing cost -- under some libtpu builds catastrophically
-  so (207 ms/iter with both rotates vs 4.9 ms lane-only).
+  (zeroing the extra rows) and the STATIC row-extended DFT factor
+  ``F[k, m], m < nprb+8`` contracts all rows; the computed frame then
+  differs from the true farplane only by a per-frame unimodular row
+  phase ``e^(-2 pi i k ry / ndet)``. That phase is cancelled
+  algebraically wherever only intensities and the kernel's own adjoint
+  chain consume the frames (grad_fused / minf_fused / grad_prb_fused /
+  the quadratic statistics), and applied as a cheap (ndet, 1) phase
+  column (:func:`_phase_rows`) where true farplanes cross the kernel
+  boundary (fwd outputs, adj/adj_residual/adj_probe inputs, split-mode
+  base adds) -- so the public operators stay phase-exact Hermitian
+  adjoint pairs. The adjoint scatter multiplies by the conj probe
+  variant (masking the extra rows) and lands the (nprb+8)-row block
+  with one lane roll + aligned read-modify-write: no sublane rotate
+  anywhere, no pow2 row-count constraint, half the window over-read,
+  and no zero-concat on the sublane axis. Motivation (measured,
+  512^2/16k/128^2 headline on v5e): the sublane rotate is the dominant
+  addressing cost -- under some libtpu builds catastrophically so
+  (207 ms/iter with both rotates vs 4.9 ms lane-only); an earlier
+  8-variant pre-phased factor-TABLE formulation measured 1.9 ms/iter of
+  dynamic table selects, which the phase-column form eliminates.
 
 Adjoints are exact in both schemes: the adjoint kernels apply F^H .
 conj(F) with the same (variant-selected) factor matrices.
@@ -75,8 +84,8 @@ from tikejax.ops.pallas_kernels import (_SUB, _accum_patch,
 _ADDR = os.environ.get("TIKEJAX_ADDR", "v2")
 
 # Timing-only ablation knob: 1 replaces the per-position dynamic probe-
-# variant and row-factor table selects with the static ry=0 variant
-# (WRONG results for ry != 0) to measure the select cost share.
+# variant table selects (and the per-frame row phases) with the static
+# ry=0 variant (WRONG results for ry != 0) to measure their cost share.
 _V2ABL = int(os.environ.get("TIKEJAX_V2ABL", "0"))
 
 
@@ -90,10 +99,13 @@ def _win(nprb, v2):
 
 def _positions_per_step(nmodes: int) -> int:
     # P * nmodes frame-sized f32 pairs live in VMEM per step plus matmul
-    # temporaries; P=16 measured fastest at 128^2 frames on v5e (40.4 vs
-    # 38.9 iters/s at P=8 on the headline CG config). Env knob for
+    # temporaries. P=8 measured fastest with the v2 addressing + merged
+    # line search (348 vs 148 iters/s at P=16 on the 512^2/16k headline;
+    # the smaller live set double-buffers better now that the kernel is
+    # MXU-bound). CAUTION: P=16/32 with the merged solver measured
+    # pathological (>8 min) Mosaic compiles on v5e. Env knob for
     # re-tuning sweeps on hardware.
-    frames = int(os.environ.get("TIKEJAX_FRAMES_PER_STEP", "16"))
+    frames = int(os.environ.get("TIKEJAX_FRAMES_PER_STEP", "8"))
     return max(1, frames // nmodes)
 
 
@@ -109,27 +121,6 @@ def _dft_factors_np(ndet: int, nprb: int):
 
 def _dft_factors(ndet: int, nprb: int):
     fr, fi = _dft_factors_np(ndet, nprb)
-    return jnp.asarray(fr), jnp.asarray(fi)
-
-
-@functools.lru_cache(maxsize=None)
-def _dft_row_factors_np(ndet: int, wh: int):
-    """v2 stage-1 factor table (8, ndet, wh): variant ry is the DFT
-    factor with columns shifted by the sublane residual,
-    ``F[k, m - ry] = e^(-2 pi i k (m - ry) / ndet) / sqrt(ndet)``, so
-    contracting it against the row-EXTENDED patch (whose true rows start
-    at ry) yields the true, phase-correct farplane."""
-    ry = np.arange(_SUB)[:, None, None].astype(np.float64)
-    u = np.arange(ndet)[None, :, None].astype(np.float64)
-    m = np.arange(wh)[None, None, :].astype(np.float64)
-    ang = -2.0 * np.pi * u * (m - ry) / ndet
-    scale = 1.0 / np.sqrt(ndet)
-    return (np.cos(ang).astype(np.float32) * scale,
-            np.sin(ang).astype(np.float32) * scale)
-
-
-def _dft_row_factors(ndet: int, wh: int):
-    fr, fi = _dft_row_factors_np(ndet, wh)
     return jnp.asarray(fr), jnp.asarray(fi)
 
 
@@ -247,17 +238,17 @@ def _idft2(gr, gi, ar, ai, bcr, bci, prec):
 # the bigger live set degrades double-buffering.
 
 
-def _dft2_many(nrs, nis, f1rs, f1is, bcr, bci, prec):
-    """DFT2 over a list of nearplanes with per-frame row factors."""
+def _dft2_many(nrs, nis, ar, ai, bcr, bci, prec):
+    """DFT2 over a list of nearplanes (fixed factors)."""
     out = [_dft2(nr, ni, ar, ai, bcr, bci, prec)
-           for nr, ni, ar, ai in zip(nrs, nis, f1rs, f1is)]
+           for nr, ni in zip(nrs, nis)]
     return [o[0] for o in out], [o[1] for o in out]
 
 
-def _idft2_many(grs, gis, f1rs, f1is, bcr, bci, prec):
+def _idft2_many(grs, gis, ar, ai, bcr, bci, prec):
     """Adjoint of :func:`_dft2_many`."""
     out = [_idft2(gr, gi, ar, ai, bcr, bci, prec)
-           for gr, gi, ar, ai in zip(grs, gis, f1rs, f1is)]
+           for gr, gi in zip(grs, gis)]
     return [o[0] for o in out], [o[1] for o in out]
 
 
@@ -284,20 +275,36 @@ def _prb_block(v2, bre, bim, ry, m):
     return bre[0, m], bim[0, m]
 
 
-def _row_factor_list(v2, f1r, f1i, rys, nmodes):
-    """Per-frame stage-1 factor operands (one table select per
-    position, shared across its modes)."""
-    if v2:
-        if _V2ABL:
-            sel = [(f1r[0], f1i[0])] * len(rys)
-        else:
-            sel = [(f1r[ry], f1i[ry]) for ry in rys]
-    else:
-        fr = f1r[...]
-        fi = f1i[...]
-        sel = [(fr, fi)] * len(rys)
-    return ([s[0] for s in sel for _ in range(nmodes)],
-            [s[1] for s in sel for _ in range(nmodes)])
+def _phase_rows(rr, ri, ry, conj_=False):
+    """Per-frame farplane row phase relating the v2 STATIC extended
+    factor's output to the true farplane.
+
+    With the static factor ``F[k, m]`` contracting the row-extended
+    patch (true rows at offset ry), the computed frame is
+    ``F_pf = e^(-2 pi i k ry / ndet) * F_true``. This helper applies
+    ``e^(+2 pi i k ry / ndet)`` (``conj_=False``: pf -> true) or its
+    conjugate (``conj_=True``: true -> pf) -- ~100 VPU ops on an
+    (ndet, 1) column, far cheaper than the (ndet, wh) 8-variant factor
+    table select it replaces (measured: table selects cost 1.9 ms/iter
+    of a 6.9 ms headline iteration).
+
+    The phase is skipped entirely (exactly, not approximately) wherever
+    only |F|^2 and the same kernel's own adjoint chain consume the
+    frames: grad_fused / minf_fused without a base, grad_prb_fused, and
+    the quadratic statistics (both farplanes carry the same phase)."""
+    ndet = rr.shape[0]
+    if _V2ABL:
+        return rr, ri
+    k = lax.broadcasted_iota(jnp.int32, (ndet, 1), 0)
+    # Reduce k*ry mod ndet in int32 before the trig: keeps the argument
+    # in [0, 2 pi) for full f32 accuracy.
+    m = (k * ry) % ndet
+    ang = m.astype(jnp.float32) * jnp.float32(2.0 * np.pi / ndet)
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    if conj_:
+        s = -s
+    return c * rr - s * ri, c * ri + s * rr
 
 
 def _scatter_block(v2, ore, oim, acc_re, acc_im, y, x, nprb):
@@ -317,15 +324,16 @@ def _acc_rows(v2, nprb):
 
 
 def _factor_args(ndet, nprb, v2):
-    """(args, specs) for the stage-1 row factor (8-variant table in v2)
-    and the stage-2 column factor."""
+    """(args, specs) for the stage-1 row factor (static row-EXTENDED
+    ``(ndet, nprb+8)`` in v2 -- per-frame phases are applied on the
+    (ndet, ndet) frames where needed, see :func:`_phase_rows`) and the
+    stage-2 column factor."""
     fcr, fci = _dft_factors(ndet, nprb)
     fc_spec = pl.BlockSpec((ndet, nprb), lambda i, j, *_: (0, 0))
     if v2:
         wh = _window_hw2(nprb)[0]
-        f1r, f1i = _dft_row_factors(ndet, wh)
-        f1_spec = pl.BlockSpec((_SUB, ndet, wh),
-                               lambda i, j, *_: (0, 0, 0))
+        f1r, f1i = _dft_factors(ndet, wh)
+        f1_spec = pl.BlockSpec((ndet, wh), lambda i, j, *_: (0, 0))
     else:
         f1r, f1i = fcr, fci
         f1_spec = fc_spec
@@ -381,12 +389,15 @@ def _fwd_kernel(P, nmodes, nprb, prec, has_base, v2, sy, sx, f1r, f1i,
             br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
+    frs, fis = _dft2_many(nrs, nis, f1r[...], f1i[...], fcr[...],
+                          fci[...], prec)
     for p in range(P):
         for m in range(nmodes):
             k = p * nmodes + m
             rr, ri = frs[k], fis[k]
+            if v2:
+                # pf -> true: the output farplane is phase-exact.
+                rr, ri = _phase_rows(rr, ri, rys[p])
             if has_base:
                 # Split-operator epilogue: add the frozen base farplane
                 # in VMEM, saving the separate XLA add pass (farplane-
@@ -462,18 +473,23 @@ def _adj_kernel(P, nmodes, nprb, prec, v2, sy, sx, f1r, f1i, fcr, fci,
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
 
-    ys, xs, rys = [], [], []
+    ys, xs, rys, grs, gis = [], [], [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
         ys.append(y)
         xs.append(x)
         rys.append(y % _SUB if v2 else 0)
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    ars, ais = _idft2_many(
-        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
-        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
-        f1rs, f1is, fcr[...], fci[...], prec)
+        for m in range(nmodes):
+            gr_, gi_ = gre[0, p, m], gim[0, p, m]
+            if v2:
+                # true -> pf so the static-factor IDFT is the exact
+                # adjoint of the (phased) forward.
+                gr_, gi_ = _phase_rows(gr_, gi_, rys[p], conj_=True)
+            grs.append(gr_)
+            gis.append(gi_)
+    ars, ais = _idft2_many(grs, gis, f1r[...], f1i[...], fcr[...],
+                           fci[...], prec)
     rows = _acc_rows(v2, nprb)
     for p in range(P):
         acc_re = jnp.zeros((rows, nprb), jnp.float32)
@@ -552,20 +568,21 @@ def _adj_probe_kernel(P, nmodes, nprb, prec, v2, sy, sx, f1r, f1i, fcr,
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
 
-    ys, xs, rys, pats = [], [], [], []
+    rys, pats, grs, gis = [], [], [], []
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
         ar, ai, ry = _gather_block(v2, pre, pim, y, x, nprb)
-        ys.append(y)
-        xs.append(x)
         rys.append(ry)
         pats.append((ar, ai))
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    ars, ais = _idft2_many(
-        [gre[0, p, m] for p in range(P) for m in range(nmodes)],
-        [gim[0, p, m] for p in range(P) for m in range(nmodes)],
-        f1rs, f1is, fcr[...], fci[...], prec)
+        for m in range(nmodes):
+            gr_, gi_ = gre[0, p, m], gim[0, p, m]
+            if v2:
+                gr_, gi_ = _phase_rows(gr_, gi_, ry, conj_=True)
+            grs.append(gr_)
+            gis.append(gi_)
+    ars, ais = _idft2_many(grs, gis, f1r[...], f1i[...], fcr[...],
+                           fci[...], prec)
     for p in range(P):
         ar, ai = pats[p]
         for m in range(nmodes):
@@ -695,16 +712,23 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
         # _grad_kernel).
         valid = jnp.where(idx < s_actual, jnp.float32(1.0),
                           jnp.float32(0.0))
-        frames_r = [gre[0, p, m] for m in range(nmodes)]
-        frames_i = [gim[0, p, m] for m in range(nmodes)]
+        # true -> pf up front: the intensity is phase-invariant and the
+        # real factor commutes, so the whole tail runs in the static-
+        # factor (pf) basis.
+        frames = [_phase_rows(gre[0, p, m], gim[0, p, m], rys[p],
+                              conj_=True) if v2
+                  else (gre[0, p, m], gim[0, p, m])
+                  for m in range(nmodes)]
+        frames_r = [f[0] for f in frames]
+        frames_i = [f[1] for f in frames]
         factor, minf = _likelihood_factor(model, frames_r, frames_i,
                                           dat[0, p], valid, nmodes, 0)
         minf_acc = minf_acc + minf
         for m in range(nmodes):
             rrs.append(frames_r[m] * factor)
             ris.append(frames_i[m] * factor)
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    ars, ais = _idft2_many(rrs, ris, f1rs, f1is, fcr[...], fci[...], prec)
+    ars, ais = _idft2_many(rrs, ris, f1r[...], f1i[...], fcr[...],
+                           fci[...], prec)
     rows = _acc_rows(v2, nprb)
     for p in range(P):
         acc_re = jnp.zeros((rows, nprb), jnp.float32)
@@ -799,8 +823,8 @@ def _fwd_quad_kernel(P, nmodes, nprb, prec, v2, sy, sx, f1r, f1i, fcr,
             br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    fds, fdis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
+    fds, fdis = _dft2_many(nrs, nis, f1r[...], f1i[...], fcr[...],
+                           fci[...], prec)
     for p in range(P):
         a = jnp.zeros((oa.shape[-2], oa.shape[-1]), jnp.float32)
         b = jnp.zeros_like(a)
@@ -810,6 +834,12 @@ def _fwd_quad_kernel(P, nmodes, nprb, prec, v2, sy, sx, f1r, f1i, fcr,
             fdr, fdi = fds[k], fdis[k]
             fpr = pre_psi[0, p, m]
             fpi = pim_psi[0, p, m]
+            if v2:
+                # Bring the (phase-true) HBM farplane into the pf basis
+                # of the in-kernel direction farplane: a, b, c are then
+                # exact (a and c are phase-invariant; b needs both
+                # operands in the SAME basis).
+                fpr, fpi = _phase_rows(fpr, fpi, rys[p], conj_=True)
             a = a + fpr * fpr + fpi * fpi
             b = b + fpr * fdr + fpi * fdi
             c = c + fdr * fdr + fdi * fdi
@@ -910,8 +940,12 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
             br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
+    # Only |F|^2 and this kernel's own adjoint consume the frames, so
+    # the whole chain runs in the static-factor (pf) basis with NO
+    # per-frame phase work; a base farplane (phase-true, from fwd) is
+    # brought into the pf basis before the add.
+    frs, fis = _dft2_many(nrs, nis, f1r[...], f1i[...], fcr[...],
+                          fci[...], prec)
 
     # Phase B: likelihood residual factor + objective per position.
     minf_acc = jnp.zeros((), jnp.float32)
@@ -923,13 +957,15 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
                           jnp.float32(0.0))
         if has_base:
             # Split-operator mode: the frame is G(base) + G(delta), with
-            # the accurate base farplane read from HBM. (Both schemes
-            # produce true, phase-correct farplanes, so the add is
-            # direct.)
+            # the accurate base farplane read from HBM (true -> pf
+            # before adding to the pf-basis frames).
             for m in range(nmodes):
                 k = p * nmodes + m
-                frs[k] = frs[k] + zre[0, p, m]
-                fis[k] = fis[k] + zim[0, p, m]
+                zr, zi = zre[0, p, m], zim[0, p, m]
+                if v2:
+                    zr, zi = _phase_rows(zr, zi, rys[p], conj_=True)
+                frs[k] = frs[k] + zr
+                fis[k] = fis[k] + zi
         factor, minf = _likelihood_factor(model, frs, fis, dat[0, p],
                                           valid, nmodes, p * nmodes)
         minf_acc = minf_acc + minf
@@ -937,7 +973,8 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
             k = p * nmodes + m
             frs[k] = frs[k] * factor
             fis[k] = fis[k] * factor
-    ars, ais = _idft2_many(frs, fis, f1rs, f1is, fcr[...], fci[...], prec)
+    ars, ais = _idft2_many(frs, fis, f1r[...], f1i[...], fcr[...],
+                           fci[...], prec)
 
     # Phase C: conj-probe multiply, mode-sum, overlap scatter.
     rows = _acc_rows(v2, nprb)
@@ -1038,8 +1075,10 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
             br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
+    # Objective consumes |F|^2 only: the static-factor pf basis is
+    # exact; a base farplane is brought into it below.
+    frs, fis = _dft2_many(nrs, nis, f1r[...], f1i[...], fcr[...],
+                          fci[...], prec)
 
     minf_acc = jnp.zeros((), jnp.float32)
     for p in range(P):
@@ -1051,8 +1090,12 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
             k = p * nmodes + m
             gr_, gi_ = frs[k], fis[k]
             if has_base:
-                gr_ = gr_ + zre[0, p, m]
-                gi_ = gi_ + zim[0, p, m]
+                zr, zi = zre[0, p, m], zim[0, p, m]
+                if v2:
+                    # true -> pf to match the static-factor frames.
+                    zr, zi = _phase_rows(zr, zi, rys[p], conj_=True)
+                gr_ = gr_ + zr
+                gi_ = gi_ + zi
             intensity = intensity + gr_ * gr_ + gi_ * gi_
         d = jnp.maximum(dat[0, p], 0.0)
         if model == "gaussian":
@@ -1152,8 +1195,11 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
             br, bi = _prb_block(v2, bre, bim, ry, m)
             nrs.append(ar * br - ai * bi)
             nis.append(ar * bi + ai * br)
-    f1rs, f1is = _row_factor_list(v2, f1r, f1i, rys, nmodes)
-    frs, fis = _dft2_many(nrs, nis, f1rs, f1is, fcr[...], fci[...], prec)
+    # Static factor exact here too: the probe-gradient chain rule runs
+    # through this kernel's own parametrisation and the objective is
+    # phase-invariant.
+    frs, fis = _dft2_many(nrs, nis, f1r[...], f1i[...], fcr[...],
+                          fci[...], prec)
 
     for p in range(P):
         idx = j * P + p
@@ -1166,7 +1212,8 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
             k = p * nmodes + m
             frs[k] = frs[k] * factor
             fis[k] = fis[k] * factor
-    ars, ais = _idft2_many(frs, fis, f1rs, f1is, fcr[...], fci[...], prec)
+    ars, ais = _idft2_many(frs, fis, f1r[...], f1i[...], fcr[...],
+                           fci[...], prec)
 
     for p in range(P):
         ar, ai = pats[p]

@@ -187,9 +187,10 @@ def _accum_patch(ref, val, y, x, nprb):
 #
 # The sublane residual ry is NOT applied to the data at all. The gather
 # returns the row-EXTENDED patch (nprb+8, nprb) whose rows [ry, ry+nprb)
-# hold the true patch; the DFT row factor is selected from an 8-variant
-# table whose variant ry contracts exactly those rows with the correct
-# phases (pallas_fused._dft_row_factors), and the probe multiply uses an
+# hold the true patch; the static row-extended DFT factor contracts all
+# rows and the resulting per-frame row phase is either cancelled
+# algebraically or applied as a cheap (ndet, 1) phase column
+# (pallas_fused._phase_rows), and the probe multiply uses an
 # 8-variant row-placed probe table. Measured motivation: the dynamic
 # sublane rotate is the dominant addressing cost on v5e (catastrophically
 # so under some libtpu builds: 207 ms/iter with both rotates vs 4.9 with

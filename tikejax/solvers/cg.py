@@ -139,6 +139,18 @@ class CGOptions:
     # inside the kernels and NEVER materializes it (mandatory for large
     # nscan x nmodes; ~12% slower when both fit); 'auto' picks by size.
     memory: str = "auto"
+    # Merged gradient/line-search evaluation ('auto' or 'off'). In the
+    # frameless regime the gradient mega-kernel returns (grad, minf) in
+    # ONE pass, so each backtracking candidate is evaluated WITH its
+    # gradient and, on acceptance (the common case: ~1.02 evals/iter
+    # with the adaptive warm start), that gradient IS the next
+    # iteration's gradient -- the separate per-iteration gradient pass
+    # disappears: ~1 fused pass/iter instead of ~2. Identical candidate
+    # sequence and accept/reject policy as the classic search; rejected
+    # candidates just pay a gradient-sized pass instead of an
+    # objective-sized one. Applies when frameless + fused kernels +
+    # nchunks == 1 + no probe recovery + backtracking line search.
+    merged_linesearch: str = "auto"
 
 
 def _rdot(a, b):
@@ -267,6 +279,10 @@ class _Engine:
         if o.linesearch not in ("backtracking", "parabolic"):
             raise ValueError(f"unknown linesearch {o.linesearch!r}; "
                              "expected 'backtracking' or 'parabolic'")
+        if o.merged_linesearch not in ("auto", "off"):
+            raise ValueError(f"unknown merged_linesearch "
+                             f"{o.merged_linesearch!r}; expected 'auto' "
+                             "or 'off'")
         if o.target_residual < 0:
             raise ValueError("target_residual must be >= 0")
         self.g = g
@@ -282,6 +298,13 @@ class _Engine:
         self.frameless = (o.memory == "frameless" or
                           (o.memory == "auto" and
                            farplane_bytes > 512 * 1024**2))
+        # Merged gradient/line-search mode (see CGOptions.merged_linesearch).
+        self.merged = (o.merged_linesearch == "auto" and self.frameless
+                       and o.nchunks == 1 and not o.recover_prb
+                       and o.linesearch == "backtracking"
+                       and not o.fused_linesearch
+                       and diffraction.resolve_kernel(
+                           o.kernel).startswith("fused"))
         # Split-operator refinement mode (mixed precision): psi is a small
         # correction delta on top of a frozen base whose farplane f_base
         # was computed ONCE with an accurate kernel. The per-iteration
@@ -805,9 +828,76 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         return (psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, gamma,
                 gamma_p, metrics)
 
-    st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
-           jnp.zeros_like(prb0), jnp.zeros_like(prb0),
-           jnp.zeros((), real_dtype), jnp.zeros((), real_dtype), metrics0)
+    def body_merged(i, st):
+        """Merged-mode iteration: every line-search candidate is
+        evaluated with the gradient mega-kernel, so the accepted
+        candidate's (minf, grad) pair seeds the next iteration and the
+        separate per-iteration gradient pass disappears (~1 fused pass
+        per iteration at the steady-state ~1 eval/iter). Same candidate
+        sequence and simple-decrease policy as the classic search."""
+        psi, prb, d_prev, g_prev, g_cur, f_cur, gam_prev, metrics = st
+        d = eng.dy_direction(g_cur, g_prev, d_prev)
+        gamma0 = eng._gamma0(real_dtype, gam_prev)
+
+        def eval_cand(gamma):
+            cand = psi + gamma.astype(psi.dtype) * d
+            fc, gc, _, _ = eng.grad_pass(cand, prb, scan, data,
+                                         want_psi=True, want_prb=False)
+            return fc, gc
+
+        def cond(stt):
+            _, fc, _, k = stt
+            return jnp.logical_and(fc > f_cur, k < o.max_halvings)
+
+        def lbody(stt):
+            gamma, fc, gc, k = stt
+            gamma = gamma * o.step_shrink
+            fc, gc = eval_cand(gamma)
+            return gamma, fc, gc, k + 1
+
+        fc0, gc0 = eval_cand(gamma0)
+        gamma, fc, gc, _ = lax.while_loop(cond, lbody,
+                                          (gamma0, fc0, gc0, 0))
+        ok = fc <= f_cur
+        gamma = jnp.where(ok, gamma, jnp.zeros_like(gamma))
+        psi = psi + gamma.astype(psi.dtype) * d
+        gc_pc = precond_psi(gc, prb)
+        g_next = jnp.where(ok, gc_pc, g_cur)
+        f_next = jnp.where(ok, fc, f_cur)
+
+        residual = jnp.sqrt(
+            jnp.maximum(f_cur, 0.0) / sum_data).astype(real_dtype)
+        metrics = {
+            "minf": metrics["minf"].at[i].set(f_cur.astype(real_dtype)),
+            "residual": metrics["residual"].at[i].set(residual),
+            "gamma": metrics["gamma"].at[i].set(gamma.astype(real_dtype)),
+            "grad_norm": metrics["grad_norm"].at[i].set(jnp.sqrt(
+                eng._dot(g_cur, g_cur, "psi")).astype(real_dtype)),
+            "gamma_prb": metrics["gamma_prb"],
+        }
+        if o.verbose_every > 0:
+            def _print(_):
+                jax.debug.print(
+                    "iter {i}: minf={f:.6e} gamma={g:.4f}", i=i, f=f_cur,
+                    g=gamma)
+                return 0
+            lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
+        return (psi, prb, d, g_cur, g_next, f_next, gamma, metrics)
+
+    if eng.merged:
+        f_init, g_init, _, _ = eng.grad_pass(psi0, prb0, scan, data,
+                                             want_psi=True,
+                                             want_prb=False)
+        st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
+               precond_psi(g_init, prb0), f_init.astype(real_dtype),
+               jnp.zeros((), real_dtype), metrics0)
+        body_fn = body_merged
+    else:
+        st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
+               jnp.zeros_like(prb0), jnp.zeros_like(prb0),
+               jnp.zeros((), real_dtype), jnp.zeros((), real_dtype),
+               metrics0)
+        body_fn = body
     if o.target_residual > 0:
         # Early-exit loop: stop once the previous iteration's relative
         # residual reached the target (still zero host round-trips --
@@ -820,12 +910,12 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
 
         def wbody(carry):
             i, st = carry
-            return i + 1, body(i, st)
+            return i + 1, body_fn(i, st)
 
         iters_run, (psi, prb, *_, metrics) = lax.while_loop(
             wcond, wbody, (jnp.zeros((), jnp.int32), st0))
     else:
-        psi, prb, *_, metrics = lax.fori_loop(0, o.piter, body, st0)
+        psi, prb, *_, metrics = lax.fori_loop(0, o.piter, body_fn, st0)
         iters_run = jnp.asarray(o.piter, jnp.int32)
     metrics = dict(metrics, iters_run=iters_run)
     return psi, prb, metrics
