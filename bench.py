@@ -24,22 +24,28 @@ from tikejax.solvers import run
 from tikejax.utils import (cones, device_sync as sync, scalar,
                            sync_overhead_seconds, to_host)
 
-# Estimated reference-on-V100 iteration rate for the headline config; see
-# BASELINE.md for the derivation (FFT FLOPs + atomicAdd scatter bandwidth).
+# Estimated reference-on-V100 iteration rate for the headline config,
+# TRAJECTORY-MATCHED to what this bench measures (the full convergent
+# run to the residual floor, averaging ~3.07 line-search evaluations
+# per iteration -- the same Dai-Yuan + backtracking policy performs the
+# same evaluation sequence on any hardware). See BASELINE.md for the
+# derivation (FFT FLOPs + atomicAdd scatter bandwidth + quadratic-
+# statistics reads per evaluation + per-iteration host syncs: ~50 ms).
 # Quoted as "vs estimate" -- the upstream publishes no numbers. The
-# self-contained hardness figure is hbm_utilization below.
-BASELINE_ITERS_PER_SEC_V100_EST = 40.0
+# self-contained hardness figure is mxu_utilization below.
+BASELINE_ITERS_PER_SEC_V100_EST = 20.0
 
 
 
-# v5e peak bf16 matmul throughput (TFLOP/s per chip).
-V5E_MXU_TFLOPS = 394.0
+# v5e peak bf16 matmul throughput (TFLOP/s per chip; 394 is the int8
+# figure).
+V5E_MXU_TFLOPS = 197.0
 
 
 def _ls_evals(metrics, opts, piter):
     """Per-iteration line-search evaluation count recovered from the
     recorded gamma trace (gamma_i = gamma0_i * shrink^k => k+1 evals)."""
-    gammas = to_host(metrics["gamma"])
+    gammas = to_host(metrics["gamma"])[:piter]
     shrink = opts.get("step_shrink", 0.5)
     step0 = opts.get("step0", 1.0)
     evals = 0
@@ -58,22 +64,33 @@ def _ls_evals(metrics, opts, piter):
 def _perf_model(g: Geometry, metrics, opts, dt, piter):
     """Roofline figures for the (default) frameless fused path.
 
-    Per CG iteration: the gradient mega-kernel reads `data` once and the
-    line search re-reads it per objective evaluation -- nothing
-    farplane-sized touches HBM, so the path is MXU/overhead-bound, not
-    bandwidth-bound. (The materialized path measured 0.99 of the 819
-    GB/s HBM roofline in round 2 -- BASELINE.md; frameless beat it by
-    removing the bandwidth wall entirely.) MXU work: each frame costs
-    4*ndet*nprb*(nprb+ndet) MACs per DFT application; grad = fwd + adj
-    (2 applications), each line-search evaluation = 1.
+    Nothing farplane-sized touches HBM, so the path is MXU/overhead-
+    bound, not bandwidth-bound. (The materialized path measured 0.99 of
+    the 819 GB/s HBM roofline in round 2 -- BASELINE.md; frameless beat
+    it by removing the bandwidth wall entirely.) MXU work: each frame
+    costs ~4*ndet*nprb*(nprb+ndet) MACs per DFT application (schoolbook
+    complex mm; the v2 row-extended stage-1 adds ~6%).
+
+    With the merged gradient/line-search (the default here) EVERY
+    objective evaluation is a gradient mega-kernel pass: 1 data read +
+    2 DFT applications (fwd + adj) per eval, and there is no separate
+    gradient pass. Classic mode: one gradient pass (1 read + 2 apps)
+    plus 1 read + 1 app per line-search evaluation.
     """
+    from tikejax.solvers.cg import CGOptions, _Engine, normalize_options
+
+    eng = _Engine(g, normalize_options(CGOptions(**opts)))
     data_px = g.ntheta * g.nscan * g.ndet * g.ndet
     evals = _ls_evals(metrics, opts, piter)
-    total_bytes = piter * (1 + evals) * 4 * data_px
+    if eng.merged:
+        reads, apps = evals, 2.0 * evals
+    else:
+        reads, apps = 1 + evals, 2.0 + evals
+    total_bytes = piter * reads * 4 * data_px
     gbps = total_bytes / dt / 1e9
-    macs_per_frame = 4 * g.ndet * g.nprb * (g.nprb + g.ndet)
+    macs_per_app = 4 * g.ndet * g.nprb * (g.nprb + g.ndet)
     frames = g.ntheta * g.nscan * g.nmodes
-    flops = piter * (2 + evals) * frames * macs_per_frame * 2
+    flops = piter * apps * frames * macs_per_app * 2
     tflops = flops / dt / 1e12
     return gbps, tflops, tflops / V5E_MXU_TFLOPS, evals
 
@@ -92,8 +109,16 @@ def main():
     psi0 = cones(g.psi_shape)
     log("problem simulated")
 
-    # Long enough that the ~0.4s readback-sync overhead distorts <2%.
-    piter = 50
+    # Timing protocol: the only reliable barrier on this transport is a
+    # ~0.4s readback sync, so the measured window must dwarf it. Each
+    # single dispatch must stay <= 512 iterations (longer dispatches
+    # crashed the tunneled worker, BASELINE.md), so the steady state
+    # runs TWO 400-iteration dispatches back-to-back (in-order device
+    # stream) between two syncs. With the default stop_on_stall the
+    # solver exits at its accuracy floor (~iter 230 here), so the
+    # measured window covers convergent iterations only; the rate
+    # divides by the iterations actually run.
+    piter = 400
     opts = dict(piter=piter, model="gaussian")
 
     # Warm-up: compile + one full run.
@@ -109,16 +134,24 @@ def main():
     sync_overhead = sync_overhead_seconds()
     log(f"sync overhead: {sync_overhead * 1000:.0f} ms")
 
-    # Steady state.
+    # Steady state: two dispatches per window.
     t0 = time.time()
-    psi, _, metrics = run(data, psi0, scan, prb, g, **opts)
+    psi1, _, metrics = run(data, psi0, scan, prb, g, **opts)
+    psi, _, metrics2 = run(data, psi0, scan, prb, g, **opts)
     sync(psi)
-    dt = max(time.time() - t0 - sync_overhead, 1e-9)
-    iters_per_sec = piter / dt
+    dt2 = max(time.time() - t0 - sync_overhead, 1e-9)
+    iters1 = int(to_host(metrics["iters_run"]))
+    iters2 = int(to_host(metrics2["iters_run"]))
+    dt = dt2 * iters1 / max(iters1 + iters2, 1)
+    iters_per_sec = (iters1 + iters2) / dt2
+    log(f"steady: {iters1}+{iters2} iters in {dt2:.2f}s")
+    piter = iters1  # evals/perf model over the executed window
 
-    minf0 = scalar(metrics["minf"][0])
-    minf_last = scalar(metrics["minf"][-1])
-    res_last = scalar(metrics["residual"][-1])
+    minf_arr = np.asarray(to_host(metrics["minf"]))
+    res_arr = np.asarray(to_host(metrics["residual"]))
+    minf0 = float(minf_arr[0])
+    minf_last = float(minf_arr[iters1 - 1])
+    res_last = float(res_arr[iters1 - 1])
     hbm_gbps, mxu_tflops, mxu_util, ls_evals = _perf_model(
         g, metrics, opts, dt, piter)
 
@@ -133,11 +166,12 @@ def main():
     _, _, m_mp = run(data, psi0, scan, prb, g, **mp_opts)
     sync(m_mp["residual"])
     dt_mp = max(time.time() - t0 - sync_overhead, 1e-9)
-    res_mp = np.asarray(to_host(m_mp["residual"]))
+    mp_ran = int(to_host(m_mp["iters_run"]))
+    res_mp = np.asarray(to_host(m_mp["residual"]))[:mp_ran]
     hit = np.nonzero(res_mp < 1e-4)[0]
-    t_to_1e4 = round(dt_mp * (int(hit[0]) + 1) / mp_iters, 2) if len(
+    t_to_1e4 = round(dt_mp * (int(hit[0]) + 1) / mp_ran, 2) if len(
         hit) else None
-    log(f"fused_mp: {mp_iters} iters in {dt_mp:.1f}s, "
+    log(f"fused_mp: {mp_ran} iters in {dt_mp:.1f}s, "
         f"res_last {res_mp[-1]:.2e}, time-to-1e-4 {t_to_1e4}s")
 
     # The other half of the driver metric (BASELINE.json:2): wall time to
@@ -163,7 +197,9 @@ def main():
         "config": "512^2 object, 16384 positions, 128^2 probe/det, "
                   "gaussian",
         "device": f"{dev.platform}:{dev.device_kind}",
-        "seconds_for_50_iters": round(dt, 3),
+        "steady_window_s": round(dt2, 3),
+        "steady_window_iters": iters1 + iters2,
+        "ms_per_iter": round(1000.0 * dt2 / max(iters1 + iters2, 1), 3),
         "minf_first_iter": minf0,
         "minf_last_iter": minf_last,
         "rel_residual_last_iter": res_last,
@@ -176,7 +212,7 @@ def main():
                          f"{ls_evals:.2f} line-search evals/iter from "
                          "the gamma trace",
         "fused_mp_time_to_1e-4_residual_s": t_to_1e4,
-        "fused_mp_iters_per_sec": round(mp_iters / dt_mp, 2),
+        "fused_mp_iters_per_sec": round(mp_ran / dt_mp, 2),
         "time_to_1e-6_residual_s": t_to_1e6,
         "time_to_1e-6_iters": deep_iters,
         "baseline_note": "V100 estimate, no published numbers "

@@ -76,17 +76,20 @@ def _timed_cg(g, piter, overhead, repeats=1, **kw):
         r, p, m = run(data, psi0, scan, prb, g, piter=piter, **kw)
     sync(r)
     dt = max((time.time() - t0 - overhead) / repeats, 1e-9)
-    res = to_host(m["residual"])
-    minf = to_host(m["minf"])
-    return dt, minf, res
+    # stop_on_stall / target_residual may exit early: entries beyond
+    # iters_run are zeros, so truncate and report the executed count.
+    ran = max(int(to_host(m["iters_run"])), 1)
+    res = to_host(m["residual"])[:ran]
+    minf = to_host(m["minf"])[:ran]
+    return dt, ran, minf, res
 
 
 def config2(overhead):
     g = Geometry(nz=256, n=256, nscan=1024, ndet=64, nprb=64)
     # enough iterations that RPC noise is negligible on small configs
-    dt, minf, res = _timed_cg(g, 256, overhead, repeats=10)
+    dt, ran, minf, res = _timed_cg(g, 256, overhead, repeats=10)
     emit({"config": 2, "name": "gaussian_object_256_64_1k",
-          "iters_per_sec": round(256 / dt, 2),
+          "iters_per_sec": round(ran / dt, 2), "iters_run": ran,
           "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
           "residual_last": float(res[-1]),
           "pass": bool(minf[-1] < minf[0])})
@@ -94,10 +97,10 @@ def config2(overhead):
 
 def config3(overhead):
     g = Geometry(nz=512, n=512, nscan=4096, ndet=128, nprb=128)
-    dt, minf, res = _timed_cg(g, 128, overhead, repeats=3,
+    dt, ran, minf, res = _timed_cg(g, 128, overhead, repeats=3,
                               model="poisson", recover_prb=True)
     emit({"config": 3, "name": "joint_poisson_512_128_4k",
-          "iters_per_sec": round(128 / dt, 2),
+          "iters_per_sec": round(ran / dt, 2), "iters_run": ran,
           "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
           "pass": bool(minf[-1] < minf[0])})
 
@@ -106,9 +109,9 @@ def config4(overhead):
     g = Geometry(nz=512, n=512, nscan=16384, ndet=64, nprb=64, nmodes=4)
     # memory='auto' resolves to the frameless kernels (farplane would be
     # 8.6 GB); no host-visible chunking needed
-    dt, minf, res = _timed_cg(g, 48, overhead)
+    dt, ran, minf, res = _timed_cg(g, 48, overhead)
     emit({"config": 4, "name": "multimode4_16k_frameless",
-          "iters_per_sec": round(48 / dt, 2),
+          "iters_per_sec": round(ran / dt, 2), "iters_run": ran,
           "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
           "residual_last": float(res[-1]),
           "pass": bool(minf[-1] < minf[0])})
@@ -123,9 +126,9 @@ def config5(overhead):
         # mesh in tests/test_sharding.py.
         g = Geometry(nz=512, n=512, nscan=65536, ndet=128, nprb=128)
         piter = 16
-        dt, minf, res = _timed_cg(g, piter, overhead)
+        dt, ran, minf, res = _timed_cg(g, piter, overhead)
         emit({"config": 5, "name": "position_sharded_64k",
-              "devices": 1, "iters_per_sec": round(piter / dt, 2),
+              "devices": 1, "iters_per_sec": round(ran / dt, 2),
               "minf_first": float(minf[0]), "minf_last": float(minf[-1]),
               "residual_last": float(res[-1]),
               "pass": bool(minf[-1] < minf[0]),
@@ -167,7 +170,8 @@ def config6(overhead):
     for model in ("poisson", "gaussian"):
         r, _, m = run(data, psi0, scan, prb, g, piter=256, model=model)
         sync(r)
-        minf = to_host(m["minf"])
+        ran = max(int(to_host(m["iters_run"])), 1)
+        minf = to_host(m["minf"])[:ran]
         out[f"{model}_minf_last"] = float(minf[-1])
         out[f"{model}_object_err"] = round(
             relative_object_error(to_host(r), to_host(psi_true)), 5)

@@ -198,17 +198,42 @@ def test_merged_linesearch_matches(rng):
     g = Geometry(nz=64, n=64, nscan=16, ndet=32, nprb=24)
     psi_true, scan, prb, data, psi0 = setup_problem(rng, g)
     for model in ("gaussian", "poisson"):
+        # Same step policy on both sides: the candidate sequences are
+        # then identical and the trajectories must match.
         _, _, ma = run(data, psi0, scan, prb, g, piter=8, model=model,
-                       kernel="fused", memory="frameless")
+                       kernel="fused", memory="frameless",
+                       step_policy="regrow")
         _, _, mb = run(data, psi0, scan, prb, g, piter=8, model=model,
                        kernel="fused", memory="frameless",
-                       merged_linesearch="off")
+                       merged_linesearch="off", step_policy="regrow")
         np.testing.assert_allclose(np.asarray(ma["minf"]),
                                    np.asarray(mb["minf"]), rtol=1e-3)
         np.testing.assert_allclose(np.asarray(ma["gamma"]),
                                    np.asarray(mb["gamma"]), rtol=1e-3)
+    # Default ('auto' -> 'track' under merged): still converges.
+    _, _, mt = run(data, psi0, scan, prb, g, piter=8, model="gaussian",
+                   kernel="fused", memory="frameless")
+    assert np.asarray(mt["minf"])[-1] < np.asarray(mt["minf"])[0]
     with pytest.raises(ValueError, match="merged_linesearch"):
         run(data, psi0, scan, prb, g, piter=2, merged_linesearch="bogus")
+    with pytest.raises(ValueError, match="step_policy"):
+        run(data, psi0, scan, prb, g, piter=2, step_policy="bogus")
+
+
+def test_stop_on_stall(rng):
+    """A line search that cannot decrease (absurd step, no halvings)
+    stalls every iteration; the loop exits after stop_on_stall
+    consecutive failures instead of burning the full piter budget."""
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    _, _, m = run(data, psi0, scan, prb, GEOM_SMALL, piter=20,
+                  step0=1e30, max_halvings=0, adaptive_step=False)
+    assert int(m["iters_run"]) == 2
+    _, _, m2 = run(data, psi0, scan, prb, GEOM_SMALL, piter=20,
+                   step0=1e30, max_halvings=0, adaptive_step=False,
+                   stop_on_stall=0)
+    assert int(m2["iters_run"]) == 20
+    with pytest.raises(ValueError, match="stop_on_stall"):
+        run(data, psi0, scan, prb, GEOM_SMALL, piter=2, stop_on_stall=-1)
 
 
 def test_precondition_options(rng):

@@ -107,10 +107,24 @@ class CGOptions:
     # much better conditioned than the reference's scalar 1/max|prb|^2
     # ('max'); 'none' disables.
     precondition: str = "illum"
-    # Warm-start the backtracking from 4x the previous accepted step
-    # (bounded by step0): saves objective evaluations once the step size
-    # stabilises, and recovers larger steps when the landscape allows.
+    # Warm-start the backtracking from the previous accepted step
+    # (False: always start from step0). The growth policy is
+    # step_policy below.
     adaptive_step: bool = True
+    # Warm-start growth policy:
+    #   'regrow' -- start from min(step0, 4x previous step) every
+    #     iteration (classic): cheap halvings make the extra probes
+    #     worthwhile for convergence speed per iteration.
+    #   'track'  -- grow 4x only when the previous start was accepted
+    #     outright; after halvings, track the previous step exactly;
+    #     after a total failure, keep the previous start. MEASURED
+    #     WORSE end-to-end despite fewer early halvings: the step
+    #     decays smoothly to epsilon at the residual floor without ever
+    #     failing outright, so stop_on_stall never fires and the deep
+    #     phase grinds (4.09 evals/iter, mp tier convergence degraded).
+    #     Kept selectable for experimentation.
+    #   'auto'   -- 'regrow'.
+    step_policy: str = "auto"
     # Evaluate the whole line-search candidate set in one fused Pallas
     # pass instead of quadratic-statistics backtracking. Measured SLOWER
     # on v5e (the K per-pixel sqrt evaluations are VPU-bound: 30 vs 39
@@ -124,6 +138,15 @@ class CGOptions:
     # actual count. 'auto' kernel selection honours the target (deep
     # targets escalate to the fused_mp/fused_hp accuracy tiers).
     target_residual: float = 0.0
+    # Stop after this many CONSECUTIVE iterations whose line searches
+    # fully failed (gamma = 0 for the object step and, under joint
+    # recovery, the probe step too): the objective cannot be decreased
+    # along the search directions even after max_halvings backtracking
+    # steps, i.e. the solver is at its (operator-accuracy) floor.
+    # Without this, every post-floor iteration burns max_halvings + 1
+    # objective evaluations making no progress (measured 150 ms/iter vs
+    # ~3 convergent on the headline config). 0 disables.
+    stop_on_stall: int = 2
     # Line-search policy: 'backtracking' (reference-style halving until
     # decrease) or 'parabolic' (backtracking + a parabola fit through
     # {0, gamma/2, gamma} refined to the vertex, ~2 extra statistics
@@ -283,8 +306,13 @@ class _Engine:
             raise ValueError(f"unknown merged_linesearch "
                              f"{o.merged_linesearch!r}; expected 'auto' "
                              "or 'off'")
+        if o.step_policy not in ("auto", "track", "regrow"):
+            raise ValueError(f"unknown step_policy {o.step_policy!r}; "
+                             "expected 'auto', 'track', or 'regrow'")
         if o.target_residual < 0:
             raise ValueError("target_residual must be >= 0")
+        if o.stop_on_stall < 0:
+            raise ValueError("stop_on_stall must be >= 0")
         self.g = g
         self.o = o
         self.minf_fn, self.resid_fn = likelihoods.get_model(o.model)
@@ -572,14 +600,37 @@ class _Engine:
 
     # -- line search ----------------------------------------------------
 
-    def _gamma0(self, dtype, gamma_prev):
+    def step_policy(self) -> str:
+        if self.o.step_policy == "auto":
+            return "regrow"
+        return self.o.step_policy
+
+    def _gamma0(self, dtype, gamma_prev, gamma0_prev):
+        """Warm start (see CGOptions.adaptive_step / step_policy):
+        ``gamma_prev`` is the last ACCEPTED step (0 on failure),
+        ``gamma0_prev`` the start actually used last iteration."""
         o = self.o
         gamma0 = jnp.asarray(o.step0, dtype)
-        if o.adaptive_step and gamma_prev is not None:
-            gamma0 = jnp.where(gamma_prev > 0,
-                               jnp.minimum(gamma0, 4.0 * gamma_prev),
-                               gamma0).astype(dtype)
-        return gamma0
+        if not o.adaptive_step or gamma_prev is None:
+            return gamma0
+        if self.step_policy() == "regrow":
+            import os
+            grow = float(os.environ.get("TIKEJAX_GROW", "4"))
+            return jnp.where(gamma_prev > 0,
+                             jnp.minimum(gamma0, grow * gamma_prev),
+                             gamma0).astype(dtype)
+        # 'track': 4x growth only when the previous start was accepted
+        # outright (fast recovery toward step0), exact tracking after
+        # halvings (the envelope is shrinking -- regrowing just buys
+        # extra halvings: the always-regrow start measured 3.07
+        # evals/iter on the headline trajectory), previous start kept
+        # on total failure.
+        grown = jnp.where(gamma_prev >= gamma0_prev,
+                          4.0 * gamma_prev, gamma_prev)
+        warm = jnp.where(
+            gamma_prev > 0, jnp.minimum(gamma0, grown),
+            jnp.where(gamma0_prev > 0, gamma0_prev, gamma0))
+        return warm.astype(dtype)
 
     def use_fused_linesearch(self) -> bool:
         """Fused one-pass candidate evaluation applies in materialised mode
@@ -590,7 +641,7 @@ class _Engine:
                 not self.frameless and
                 diffraction.resolve_kernel(self.o.kernel) != "xla")
 
-    def line_search_all(self, fpsi, fd, data, f0, dtype, gamma_prev=None):
+    def line_search_all(self, fpsi, fd, data, f0, gamma0):
         """One-pass line search: evaluate the whole backtracking candidate
         set {gamma0 * shrink^k} with the fused Pallas kernel and pick the
         first decrease (identical policy to the while_loop backtracking,
@@ -598,7 +649,7 @@ class _Engine:
         from tikejax.ops import pallas_linesearch
 
         o = self.o
-        gamma0 = self._gamma0(dtype, gamma_prev)
+        dtype = gamma0.dtype
         # max_halvings + 1 candidates, matching the while_loop backtracking
         # which evaluates gamma0 plus up to max_halvings halved steps.
         shrinks = jnp.asarray(o.step_shrink, jnp.float32) ** jnp.arange(
@@ -611,13 +662,11 @@ class _Engine:
         idx = jnp.argmax(ok)
         return jnp.where(jnp.any(ok), gammas[idx], 0.0).astype(dtype)
 
-    def line_search(self, f_of, f0, dtype, gamma_prev=None):
+    def line_search(self, f_of, f0, gamma0):
         """Backtracking: largest gamma in {gamma0 * shrink^k} with
         f(gamma) <= f0; gamma = 0 if none within max_halvings (the
-        reference's simple-decrease halving search). With adaptive_step,
-        gamma0 warm-starts from 4x the previously accepted step."""
+        reference's simple-decrease halving search)."""
         o = self.o
-        gamma0 = self._gamma0(dtype, gamma_prev)
 
         def cond(st):
             gamma, fg, k = st
@@ -766,26 +815,27 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
 
     def body(i, st):
         (psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, gam_prev,
-         gam_p_prev, metrics) = st
+         gam0_prev, gam_p_prev, gam0_p_prev, metrics) = st
 
         # ---- object step ----
         f0, gpsi, _, fpsi = eng.grad_pass(psi, prb, scan, data,
                                           want_psi=True, want_prb=False)
         gpsi = precond_psi(gpsi, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
+        gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
         if eng.use_fused_linesearch():
             fp = fpsi if fpsi is not None else eng._fwd_obj(psi, scan, prb)
             fd = eng._fwd(d_psi, scan, prb)
-            gamma = eng.line_search_all(fp, fd, data, f0, real_dtype,
-                                        gam_prev)
+            gamma = eng.line_search_all(fp, fd, data, f0, gamma0)
         else:
             f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi,
                                  fpsi=fpsi)
-            gamma = eng.line_search(f_of, f0, real_dtype, gam_prev)
+            gamma = eng.line_search(f_of, f0, gamma0)
         psi = psi + gamma.astype(psi.dtype) * d_psi
         g_psi_prev = gpsi
 
         gamma_p = jnp.zeros((), real_dtype)
+        gamma0_p = gam0_p_prev
         if o.recover_prb:
             # ---- probe step (alternating, reference style) ----
             # Gradient w.r.t. prb at the *updated* psi: recompute the
@@ -795,17 +845,17 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                                                 want_prb=True)
             gprb = precond_prb(gprb, psi)
             d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb, kind="prb")
+            gamma0_p = eng._gamma0(real_dtype, gam_p_prev, gam0_p_prev)
             if eng.use_fused_linesearch():
                 fp2 = (fpsi2 if fpsi2 is not None
                        else eng._fwd(psi, scan, prb))
                 fdp = eng._fwd_probe_dir(psi, scan, d_prb)
                 gamma_p = eng.line_search_all(fp2, fdp, data, f0p,
-                                              real_dtype, gam_p_prev)
+                                              gamma0_p)
             else:
                 f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
                                        fpsi=fpsi2)
-                gamma_p = eng.line_search(f_of_p, f0p, real_dtype,
-                                          gam_p_prev)
+                gamma_p = eng.line_search(f_of_p, f0p, gamma0_p)
             prb = prb + gamma_p.astype(prb.dtype) * d_prb
             g_prb_prev = gprb
 
@@ -826,7 +876,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                 return 0
             lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
         return (psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, gamma,
-                gamma_p, metrics)
+                gamma0, gamma_p, gamma0_p, metrics)
 
     def body_merged(i, st):
         """Merged-mode iteration: every line-search candidate is
@@ -835,9 +885,10 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         separate per-iteration gradient pass disappears (~1 fused pass
         per iteration at the steady-state ~1 eval/iter). Same candidate
         sequence and simple-decrease policy as the classic search."""
-        psi, prb, d_prev, g_prev, g_cur, f_cur, gam_prev, metrics = st
+        (psi, prb, d_prev, g_prev, g_cur, f_cur, gam_prev, gam0_prev,
+         metrics) = st
         d = eng.dy_direction(g_cur, g_prev, d_prev)
-        gamma0 = eng._gamma0(real_dtype, gam_prev)
+        gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
 
         def eval_cand(gamma):
             cand = psi + gamma.astype(psi.dtype) * d
@@ -882,31 +933,49 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                     g=gamma)
                 return 0
             lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
-        return (psi, prb, d, g_cur, g_next, f_next, gamma, metrics)
+        return (psi, prb, d, g_cur, g_next, f_next, gamma, gamma0,
+                metrics)
 
+    zscal = jnp.zeros((), real_dtype)
     if eng.merged:
         f_init, g_init, _, _ = eng.grad_pass(psi0, prb0, scan, data,
                                              want_psi=True,
                                              want_prb=False)
         st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
                precond_psi(g_init, prb0), f_init.astype(real_dtype),
-               jnp.zeros((), real_dtype), metrics0)
+               zscal, zscal, metrics0)
         body_fn = body_merged
     else:
         st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
                jnp.zeros_like(prb0), jnp.zeros_like(prb0),
-               jnp.zeros((), real_dtype), jnp.zeros((), real_dtype),
-               metrics0)
+               zscal, zscal, zscal, zscal, metrics0)
         body_fn = body
-    if o.target_residual > 0:
+    if o.target_residual > 0 or o.stop_on_stall > 0:
         # Early-exit loop: stop once the previous iteration's relative
-        # residual reached the target (still zero host round-trips --
-        # the stop condition lives on device).
+        # residual reached the target, or after stop_on_stall
+        # consecutive fully-failed line searches (solver at its
+        # operator-accuracy floor). Still zero host round-trips -- the
+        # stop conditions live on device.
         def wcond(carry):
             i, st = carry
-            res = st[-1]["residual"][jnp.maximum(i - 1, 0)]
-            deep_enough = jnp.logical_or(i == 0, res > o.target_residual)
-            return jnp.logical_and(i < o.piter, deep_enough)
+            m = st[-1]
+            keep = i < o.piter
+            if o.target_residual > 0:
+                res = m["residual"][jnp.maximum(i - 1, 0)]
+                keep = jnp.logical_and(
+                    keep,
+                    jnp.logical_or(i == 0, res > o.target_residual))
+            if o.stop_on_stall > 0:
+                n = o.stop_on_stall
+                stalled = i >= n
+                for k in range(1, n + 1):
+                    idx = jnp.maximum(i - k, 0)
+                    moved = jnp.logical_or(m["gamma"][idx] != 0,
+                                           m["gamma_prb"][idx] != 0)
+                    stalled = jnp.logical_and(
+                        stalled, jnp.logical_not(moved))
+                keep = jnp.logical_and(keep, jnp.logical_not(stalled))
+            return keep
 
         def wbody(carry):
             i, st = carry

@@ -160,6 +160,15 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                               f_base=f_base)
         psi = add(psi, delta)
         stages.append((f"split:{fast}", m))
-        if int(hostio.to_host(m["iters_run"])) < segment:
-            break  # on-device early exit fired: target reached
+        ran = int(hostio.to_host(m["iters_run"]))
+        if ran < segment:
+            # On-device early exit: either the target was reached or the
+            # line search stalled at this segment's floor (stop_on_stall)
+            # -- only the former terminates; a stalled segment gets a
+            # fresh base (re-freezing is exactly the remedy for a stall:
+            # the correction restarts from zero against a more accurate
+            # farplane).
+            res = float(hostio.to_host(m["residual"])[max(ran - 1, 0)])
+            if res <= target:
+                break
     return psi, prb, stages
