@@ -147,15 +147,27 @@ class CGOptions:
     # objective evaluations making no progress (measured 150 ms/iter vs
     # ~3 convergent on the headline config). 0 disables.
     stop_on_stall: int = 2
-    # Line-search policy: 'backtracking' (reference-style halving until
-    # decrease) or 'parabolic' (backtracking + a parabola fit through
-    # {0, gamma/2, gamma} refined to the vertex, ~2 extra statistics
-    # reductions per iteration). Measured: parabolic helps early/
-    # well-conditioned phases but HURTS the deep fp32 tail (the vertex
-    # chases objective noise once f(gamma) flattens; 8.6e-5 vs 1.7e-5
-    # at 512 fused_hp iters on the headline config) -- keep the default
-    # for deep-residual work.
-    linesearch: str = "backtracking"
+    # Line-search policy:
+    #   'interp' -- backtracking, but on the FIRST rejection take one
+    #     safeguarded quadratic-interpolation step: with f(0),
+    #     f'(0) = <grad, d> and f(gamma0), the model minimiser
+    #     -f'(0) gamma0^2 / (2 (f(gamma0) - f(0) - f'(0) gamma0)),
+    #     clipped to [shrink^2, shrink] * gamma0, replaces the next
+    #     halving candidate; plain halving continues from there if
+    #     still rejected. Saves ~1 evaluation on the 2-halving pattern
+    #     the 4x regrow produces (headline 36.4 -> 45-51 iters/s) but
+    #     accepts slightly smaller steps than pure halving would, which
+    #     measurably slows DEEP-residual descent (fused_mp residual
+    #     1.8e-4 vs 7.6e-5 at 240 iterations).
+    #   'backtracking' -- reference-style pure halving until decrease:
+    #     best per-iteration descent, more evaluations.
+    #   'parabolic' -- backtracking + a vertex refinement of the
+    #     ACCEPTED step (~2 extra evaluations). Measured: HURTS the
+    #     deep fp32 tail (the vertex chases objective noise; 8.6e-5 vs
+    #     1.7e-5 at 512 fused_hp iters); kept opt-in.
+    #   'auto' (default) -- 'backtracking' on the deep-residual tiers
+    #     (fused_mp / fused_hp), 'interp' otherwise.
+    linesearch: str = "auto"
     # Farplane policy on the fused kernel paths: 'materialized' keeps
     # G(psi) in HBM between the forward and the gradient tail (fastest
     # when it fits); 'frameless' computes every farplane frame in VMEM
@@ -299,9 +311,19 @@ class _Engine:
                              "expected 'illum', 'max', or 'none'")
         if o.memory not in ("auto", "materialized", "frameless"):
             raise ValueError(f"unknown memory policy {o.memory!r}")
-        if o.linesearch not in ("backtracking", "parabolic"):
+        if o.linesearch not in ("auto", "interp", "backtracking",
+                                "parabolic"):
             raise ValueError(f"unknown linesearch {o.linesearch!r}; "
-                             "expected 'backtracking' or 'parabolic'")
+                             "expected 'auto', 'interp', 'backtracking',"
+                             " or 'parabolic'")
+        # Resolve 'auto' against the kernel tier: the interpolation
+        # step's slightly smaller accepted steps measurably slow
+        # deep-residual descent on the accuracy tiers.
+        self.ls = o.linesearch
+        if self.ls == "auto":
+            deep = diffraction.resolve_kernel(o.kernel) in (
+                "fused_mp", "fused_hp")
+            self.ls = "backtracking" if deep else "interp"
         if o.merged_linesearch not in ("auto", "off"):
             raise ValueError(f"unknown merged_linesearch "
                              f"{o.merged_linesearch!r}; expected 'auto' "
@@ -329,7 +351,7 @@ class _Engine:
         # Merged gradient/line-search mode (see CGOptions.merged_linesearch).
         self.merged = (o.merged_linesearch == "auto" and self.frameless
                        and o.nchunks == 1 and not o.recover_prb
-                       and o.linesearch == "backtracking"
+                       and self.ls in ("backtracking", "interp")
                        and not o.fused_linesearch
                        and diffraction.resolve_kernel(
                            o.kernel).startswith("fused"))
@@ -662,11 +684,45 @@ class _Engine:
         idx = jnp.argmax(ok)
         return jnp.where(jnp.any(ok), gammas[idx], 0.0).astype(dtype)
 
-    def line_search(self, f_of, f0, gamma0):
+    def _interp_gamma(self, gamma0, f0, fg0, fp0):
+        """Safeguarded quadratic-interpolation candidate after the first
+        candidate was rejected: minimiser of the quadratic through
+        (0, f0) with slope fp0 and (gamma0, fg0), clipped to
+        [0.1, shrink] * gamma0 -- never beyond what plain halving would
+        try next, so deep-tail objective noise degrades gracefully to
+        backtracking instead of being chased."""
+        o = self.o
+        denom = fg0 - f0 - fp0 * gamma0
+        good = jnp.logical_and(denom > 0, fp0 < 0)
+        gi = jnp.where(good,
+                       -fp0 * gamma0 * gamma0
+                       / (2.0 * jnp.where(denom > 0, denom, 1.0)),
+                       gamma0 * o.step_shrink)
+        # Tight safeguard [shrink^2, shrink] * gamma0: the model may
+        # only skip ONE halving, never take a tiny step -- a loose
+        # 0.1*gamma0 lower bound measured slower DEEP descent (the
+        # noisy model under-steps near the floor: fused_mp residual
+        # 3.7e-4 vs 7.6e-5 at 240 iterations).
+        lo = o.step_shrink * o.step_shrink * gamma0
+        return jnp.clip(gi, lo,
+                        o.step_shrink * gamma0).astype(gamma0.dtype)
+
+    def line_search(self, f_of, f0, gamma0, fp0=None):
         """Backtracking: largest gamma in {gamma0 * shrink^k} with
         f(gamma) <= f0; gamma = 0 if none within max_halvings (the
-        reference's simple-decrease halving search)."""
+        reference's simple-decrease halving search). With
+        linesearch='interp' and a directional derivative ``fp0``, the
+        first halving candidate is replaced by the safeguarded
+        quadratic-interpolation step."""
         o = self.o
+
+        st0 = (gamma0, f_of(gamma0), 0)
+        if self.ls == "interp" and fp0 is not None:
+            def do(st):
+                gi = self._interp_gamma(gamma0, f0, st[1], fp0)
+                return gi, f_of(gi), 1
+
+            st0 = lax.cond(st0[1] > f0, do, lambda st: st, st0)
 
         def cond(st):
             gamma, fg, k = st
@@ -677,9 +733,9 @@ class _Engine:
             gamma = gamma * o.step_shrink
             return gamma, f_of(gamma), k + 1
 
-        gamma, fg, _ = lax.while_loop(cond, body, (gamma0, f_of(gamma0), 0))
+        gamma, fg, _ = lax.while_loop(cond, body, st0)
         gamma = jnp.where(fg <= f0, gamma, jnp.zeros_like(gamma))
-        if o.linesearch == "parabolic":
+        if self.ls == "parabolic":
             gamma = self._parabolic_refine(f_of, f0, gamma, fg)
         return gamma
 
@@ -818,9 +874,10 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
          gam0_prev, gam_p_prev, gam0_p_prev, metrics) = st
 
         # ---- object step ----
-        f0, gpsi, _, fpsi = eng.grad_pass(psi, prb, scan, data,
-                                          want_psi=True, want_prb=False)
-        gpsi = precond_psi(gpsi, prb)
+        f0, gpsi_raw, _, fpsi = eng.grad_pass(psi, prb, scan, data,
+                                              want_psi=True,
+                                              want_prb=False)
+        gpsi = precond_psi(gpsi_raw, prb)
         d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
         gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
         if eng.use_fused_linesearch():
@@ -830,7 +887,10 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         else:
             f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi,
                                  fpsi=fpsi)
-            gamma = eng.line_search(f_of, f0, gamma0)
+            # Directional derivative of the objective along d (RAW
+            # gradient: the preconditioner rescales grad, not f).
+            fp0 = eng._dot(gpsi_raw, d_psi, "psi")
+            gamma = eng.line_search(f_of, f0, gamma0, fp0)
         psi = psi + gamma.astype(psi.dtype) * d_psi
         g_psi_prev = gpsi
 
@@ -840,10 +900,10 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
             # ---- probe step (alternating, reference style) ----
             # Gradient w.r.t. prb at the *updated* psi: recompute the
             # residual pass (the farplane changed with psi).
-            f0p, _, gprb, fpsi2 = eng.grad_pass(psi, prb, scan, data,
-                                                want_psi=False,
-                                                want_prb=True)
-            gprb = precond_prb(gprb, psi)
+            f0p, _, gprb_raw, fpsi2 = eng.grad_pass(psi, prb, scan, data,
+                                                    want_psi=False,
+                                                    want_prb=True)
+            gprb = precond_prb(gprb_raw, psi)
             d_prb = eng.dy_direction(gprb, g_prb_prev, d_prb, kind="prb")
             gamma0_p = eng._gamma0(real_dtype, gam_p_prev, gam0_p_prev)
             if eng.use_fused_linesearch():
@@ -855,7 +915,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
             else:
                 f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
                                        fpsi=fpsi2)
-                gamma_p = eng.line_search(f_of_p, f0p, gamma0_p)
+                fp0_p = eng._dot(gprb_raw, d_prb, "prb")
+                gamma_p = eng.line_search(f_of_p, f0p, gamma0_p, fp0_p)
             prb = prb + gamma_p.astype(prb.dtype) * d_prb
             g_prb_prev = gprb
 
@@ -885,8 +946,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         separate per-iteration gradient pass disappears (~1 fused pass
         per iteration at the steady-state ~1 eval/iter). Same candidate
         sequence and simple-decrease policy as the classic search."""
-        (psi, prb, d_prev, g_prev, g_cur, f_cur, gam_prev, gam0_prev,
-         metrics) = st
+        (psi, prb, d_prev, g_prev, g_cur, g_raw, f_cur, gam_prev,
+         gam0_prev, metrics) = st
         d = eng.dy_direction(g_cur, g_prev, d_prev)
         gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
 
@@ -895,6 +956,20 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
             fc, gc, _, _ = eng.grad_pass(cand, prb, scan, data,
                                          want_psi=True, want_prb=False)
             return fc, gc
+
+        fc0, gc0 = eval_cand(gamma0)
+        st_ls = (gamma0, fc0, gc0, jnp.zeros((), jnp.int32))
+        if eng.ls == "interp":
+            # Directional derivative from the RAW gradient (the
+            # preconditioner rescales grad, not f).
+            fp0 = eng._dot(g_raw, d, "psi")
+
+            def do_interp(stt):
+                gi = eng._interp_gamma(gamma0, f_cur, stt[1], fp0)
+                fci, gci = eval_cand(gi)
+                return gi, fci, gci, jnp.ones((), jnp.int32)
+
+            st_ls = lax.cond(fc0 > f_cur, do_interp, lambda s: s, st_ls)
 
         def cond(stt):
             _, fc, _, k = stt
@@ -906,14 +981,13 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
             fc, gc = eval_cand(gamma)
             return gamma, fc, gc, k + 1
 
-        fc0, gc0 = eval_cand(gamma0)
-        gamma, fc, gc, _ = lax.while_loop(cond, lbody,
-                                          (gamma0, fc0, gc0, 0))
+        gamma, fc, gc, _ = lax.while_loop(cond, lbody, st_ls)
         ok = fc <= f_cur
         gamma = jnp.where(ok, gamma, jnp.zeros_like(gamma))
         psi = psi + gamma.astype(psi.dtype) * d
         gc_pc = precond_psi(gc, prb)
         g_next = jnp.where(ok, gc_pc, g_cur)
+        g_next_raw = jnp.where(ok, gc, g_raw)
         f_next = jnp.where(ok, fc, f_cur)
 
         residual = jnp.sqrt(
@@ -933,8 +1007,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                     g=gamma)
                 return 0
             lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
-        return (psi, prb, d, g_cur, g_next, f_next, gamma, gamma0,
-                metrics)
+        return (psi, prb, d, g_cur, g_next, g_next_raw, f_next, gamma,
+                gamma0, metrics)
 
     zscal = jnp.zeros((), real_dtype)
     if eng.merged:
@@ -942,8 +1016,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                                              want_psi=True,
                                              want_prb=False)
         st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
-               precond_psi(g_init, prb0), f_init.astype(real_dtype),
-               zscal, zscal, metrics0)
+               precond_psi(g_init, prb0), g_init,
+               f_init.astype(real_dtype), zscal, zscal, metrics0)
         body_fn = body_merged
     else:
         st0 = (psi0, prb0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
