@@ -168,11 +168,12 @@ class CGOptions:
     #   'auto' (default) -- 'backtracking' on the deep-residual tiers
     #     (fused_mp / fused_hp), 'interp' otherwise.
     linesearch: str = "auto"
-    # Farplane policy on the fused kernel paths: 'materialized' keeps
-    # G(psi) in HBM between the forward and the gradient tail (fastest
-    # when it fits); 'frameless' computes every farplane frame in VMEM
-    # inside the kernels and NEVER materializes it (mandatory for large
-    # nscan x nmodes; ~12% slower when both fit); 'auto' picks by size.
+    # Farplane policy on the fused kernel paths: 'frameless' computes
+    # every farplane frame in VMEM inside the kernels and NEVER
+    # materializes it (mandatory for large nscan x nmodes, and the only
+    # regime the merged gradient/line-search applies to -- measured
+    # faster at every size tested); 'materialized' keeps G(psi) in HBM
+    # between the forward and the gradient tail; 'auto' = frameless.
     memory: str = "auto"
     # Merged gradient/line-search evaluation ('auto' or 'off'). In the
     # frameless regime the gradient mega-kernel returns (grad, minf) in
@@ -338,16 +339,17 @@ class _Engine:
         self.g = g
         self.o = o
         self.minf_fn, self.resid_fn = likelihoods.get_model(o.model)
-        farplane_bytes = (g.ntheta * g.nscan * g.nmodes * g.ndet * g.ndet
-                          * 8)
-        # 'auto' threshold (measured on v5e, round 2, with the frameless
-        # minf_fused line search): frameless WINS once the farplane is
-        # HBM-scale (61.6 vs 54.2 iters/s on the 2.1 GB headline; 101 vs
-        # 83 on the 1.1 GB joint config) and loses at small sizes where
-        # kernel-grid overhead dominates (1292 vs 2864 iters/s at 33 MB).
+        # 'auto' -> frameless on the fused kernels (round-2-final
+        # measurement): the merged gradient/line-search applies only to
+        # the frameless regime, and with it frameless wins at EVERY
+        # size tested -- 3.5x at a 134 MB farplane (1582 vs 452
+        # iters/s), 3x at 540 MB (292 vs 98), and even at 33 MB (931 vs
+        # 841; pre-merged it lost there 1292 vs 2864). 'materialized'
+        # stays selectable; non-fused kernels have no frameless path.
         self.frameless = (o.memory == "frameless" or
                           (o.memory == "auto" and
-                           farplane_bytes > 512 * 1024**2))
+                           diffraction.resolve_kernel(
+                               o.kernel).startswith("fused")))
         # Merged gradient/line-search mode (see CGOptions.merged_linesearch).
         self.merged = (o.merged_linesearch == "auto" and self.frameless
                        and o.nchunks == 1 and not o.recover_prb
