@@ -125,9 +125,11 @@ def main():
     t0 = time.time()
     psi, _, metrics = run(data, psi0, scan, prb, g, **opts)
     sync(psi)
+    warm_ran = max(int(to_host(metrics["iters_run"])), 1)
+    warm_minf = np.asarray(to_host(metrics["minf"]))
     log(f"compile+first run: {time.time() - t0:.1f}s; "
-        f"minf {scalar(metrics['minf'][0]):.4e} -> "
-        f"{scalar(metrics['minf'][-1]):.4e}")
+        f"minf {warm_minf[0]:.4e} -> {warm_minf[warm_ran - 1]:.4e} "
+        f"({warm_ran} iters)")
 
     # Subtract the readback-sync RPC overhead from the steady-state timing
     # (~0.4s on tunneled transports, ~0 locally).

@@ -114,3 +114,49 @@ def test_pallas_grad_through_custom_vjp(rng):
     for a, b in zip(dx, dp):
         scale = float(jnp.max(jnp.abs(a)))
         assert float(jnp.max(jnp.abs(a - b))) < 5e-5 * scale
+
+
+@pytest.mark.parametrize("g", GEOMS)
+def test_addressing_v1_v2_parity(rng, g):
+    """Both addressing schemes of the fused kernels (v1: dual dynamic
+    rotates; v2: row-extended static factor + phase column, the default)
+    compute the same operators, including the frameless mega-kernels."""
+    from tikejax.ops import pallas_fused
+    from tikejax.models import likelihoods
+
+    psi, scan, prb, farp = make_inputs(rng, g)
+    scan_i = scan_to_int(scan)
+    # Data from a DIFFERENT field so the likelihood gradient at psi is
+    # O(1) (at the optimum both schemes give ~0 and the relative
+    # comparison is meaningless).
+    psi2 = rand_c64(jax.random.fold_in(rng, 99), g.psi_shape)
+    data = likelihoods.total_intensity(
+        fwd_raw(psi2, scan, prb, g.ndet, kernel="xla"))
+
+    for fn, args in [
+        (pallas_fused.fwd, (psi, scan_i, prb, g.ndet)),
+        (pallas_fused.adj, (farp, scan_i, prb, g.nz, g.n)),
+        (pallas_fused.adj_probe, (farp, scan_i, psi, g.nprb)),
+    ]:
+        a = fn(*args, addressing="v1")
+        b = fn(*args, addressing="v2")
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) < 2e-4 * scale, fn.__name__
+
+    for fn, args in [
+        (pallas_fused.grad_fused,
+         (psi, data, scan_i, prb, g.ndet, "gaussian")),
+        (pallas_fused.grad_prb_fused,
+         (psi, data, scan_i, prb, g.ndet, "gaussian")),
+    ]:
+        ga, fa = fn(*args, addressing="v1")
+        gb, fb = fn(*args, addressing="v2")
+        scale = float(jnp.max(jnp.abs(ga))) + 1e-30
+        assert float(jnp.max(jnp.abs(ga - gb))) < 2e-4 * scale, fn.__name__
+        assert abs(float(fa) - float(fb)) < 2e-4 * (abs(float(fa)) + 1e-30)
+
+    ma = pallas_fused.minf_fused(psi, data, scan_i, prb, g.ndet,
+                                 "gaussian", addressing="v1")
+    mb = pallas_fused.minf_fused(psi, data, scan_i, prb, g.ndet,
+                                 "gaussian", addressing="v2")
+    assert abs(float(ma) - float(mb)) < 2e-4 * (abs(float(ma)) + 1e-30)
