@@ -125,7 +125,7 @@ def config5(overhead):
         # would be 8.6 GB). Sharded equivalence is covered on the CPU
         # mesh in tests/test_sharding.py.
         g = Geometry(nz=512, n=512, nscan=65536, ndet=128, nprb=128)
-        piter = 16
+        piter = 100  # ~2 s window at the measured rate: RPC noise < 20%
         dt, ran, minf, res = _timed_cg(g, piter, overhead)
         emit({"config": 5, "name": "position_sharded_64k",
               "devices": 1, "iters_per_sec": round(ran / dt, 2),
