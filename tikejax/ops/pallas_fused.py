@@ -88,6 +88,13 @@ _ADDR = os.environ.get("TIKEJAX_ADDR", "v2")
 # ry=0 variant (WRONG results for ry != 0) to measure their cost share.
 _V2ABL = int(os.environ.get("TIKEJAX_V2ABL", "0"))
 
+# Objective accumulator placement in the mega-kernels: a revisited SMEM
+# scalar (default) vs per-grid-step VMEM slots summed by XLA
+# (TIKEJAX_MINF_SMEM=0). Measured on the 512^2/16k headline: slots are
+# WORSE (29.5 vs 39.6 iters/s full-window) -- the per-step (1,1,1,1)
+# output DMA disrupts the pipeline more than the SMEM scalar does.
+_MINF_SMEM = int(os.environ.get("TIKEJAX_MINF_SMEM", "1"))
+
 
 def _is_v2(addressing) -> bool:
     return (addressing or _ADDR) == "v2"
@@ -321,6 +328,20 @@ def _acc_rows(v2, nprb):
 
 
 # --- wrapper-side scheme helpers ------------------------------------------
+
+
+def _minf_out(t, nblocks):
+    """(ShapeDtypeStruct, BlockSpec) for the scalar-objective
+    accumulator: per-grid-step VMEM slots (default) or a revisited SMEM
+    scalar (_MINF_SMEM); the wrapper reduces with jnp.sum either way."""
+    if _MINF_SMEM:
+        return (jax.ShapeDtypeStruct((t, 1), jnp.float32),
+                pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.SMEM))
+    # Mosaic requires the last two block dims to divide (8, 128) or
+    # equal the array dims -- a trailing (1, 1) satisfies the latter.
+    return (jax.ShapeDtypeStruct((t, nblocks, 1, 1), jnp.float32),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j, *_: (i, j, 0, 0)))
 
 
 def _factor_args(ndet, nprb, v2):
@@ -695,7 +716,8 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
     def _():
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
-        fsum[0, 0] = jnp.float32(0.0)
+        if _MINF_SMEM:
+            fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
     ys, xs, rys, rrs, ris = [], [], [], [], []
@@ -739,7 +761,10 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
             acc_re = acc_re + (br * ars[k] + bi * ais[k])
             acc_im = acc_im + (br * ais[k] - bi * ars[k])
         _scatter_block(v2, ore, oim, acc_re, acc_im, ys[p], xs[p], nprb)
-    fsum[0, 0] += minf_acc
+    if _MINF_SMEM:
+        fsum[0, 0] += minf_acc
+    else:
+        fsum[0, 0] = minf_acc.reshape(1, 1)
 
 
 def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
@@ -774,6 +799,7 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
     data_spec = pl.BlockSpec((1, P, ndet, ndet),
                              lambda i, j, *_: (i, j, 0, 0))
     obj_spec = pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0))
+    fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
@@ -782,14 +808,13 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
         out_specs=[
             obj_spec,
             obj_spec,
-            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
-                         memory_space=pltpu.SMEM),
+            fspec,
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
-        jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        fshape,
     ]
     args = [sy, sx] + fac_args + [gre, gim, dat] + prb_args
     ore, oim, fsum = pl.pallas_call(
@@ -925,7 +950,8 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
     def _():
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
-        fsum[0, 0] = jnp.float32(0.0)
+        if _MINF_SMEM:
+            fsum[0, 0] = jnp.float32(0.0)
 
     # Phase A: gather + probe multiply -> all P*nmodes nearplanes.
     ys, xs, rys, nrs, nis = [], [], [], [], []
@@ -987,7 +1013,10 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
             acc_re = acc_re + (br * ars[k] + bi * ais[k])
             acc_im = acc_im + (br * ais[k] - bi * ars[k])
         _scatter_block(v2, ore, oim, acc_re, acc_im, ys[p], xs[p], nprb)
-    fsum[0, 0] += minf_acc
+    if _MINF_SMEM:
+        fsum[0, 0] += minf_acc
+    else:
+        fsum[0, 0] = minf_acc.reshape(1, 1)
 
 
 def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
@@ -1024,6 +1053,7 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                                   lambda i, j, *_: (i, j, 0, 0, 0))
         in_specs += [frame_spec, frame_spec]
         args += [_pad_axis1(a, s_pad) for a in _split_c64(base)]
+    fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
@@ -1031,14 +1061,13 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         out_specs=[
             pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
-                         memory_space=pltpu.SMEM),
+            fspec,
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
         jax.ShapeDtypeStruct((t, hz, wn), jnp.float32),
-        jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        fshape,
     ]
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_kernel, P, nmodes, nprb, model,
@@ -1061,9 +1090,10 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        fsum[0, 0] = jnp.float32(0.0)
+    if _MINF_SMEM:
+        @pl.when(j == 0)
+        def _():
+            fsum[0, 0] = jnp.float32(0.0)
 
     rys, nrs, nis = [], [], []
     for p in range(P):
@@ -1104,7 +1134,10 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
         else:  # poisson
             minf_acc = minf_acc + valid * jnp.sum(
                 intensity - d * jnp.log(intensity + 1e-8))
-    fsum[0, 0] += minf_acc
+    if _MINF_SMEM:
+        fsum[0, 0] += minf_acc
+    else:
+        fsum[0, 0] = minf_acc.reshape(1, 1)
 
 
 def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
@@ -1143,16 +1176,16 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                                   lambda i, j, *_: (i, j, 0, 0, 0))
         in_specs += [frame_spec, frame_spec]
         args += [_pad_axis1(a, s_pad) for a in _split_c64(base)]
+    fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
-                         memory_space=pltpu.SMEM),
+            fspec,
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((t, 1), jnp.float32)]
+    out_shape = [fshape]
     (fsum,) = pl.pallas_call(
         functools.partial(_minf_kernel, P, nmodes, nprb, model,
                           precision or PRECISION, s, base is not None,
@@ -1181,7 +1214,8 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
     def _():
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
-        fsum[0, 0] = jnp.float32(0.0)
+        if _MINF_SMEM:
+            fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
     rys, pats, nrs, nis = [], [], [], []
@@ -1228,7 +1262,10 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
             else:
                 ore[0, m] += vr
                 oim[0, m] += vi
-    fsum[0, 0] += minf_acc
+    if _MINF_SMEM:
+        fsum[0, 0] += minf_acc
+    else:
+        fsum[0, 0] = minf_acc.reshape(1, 1)
 
 
 def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
@@ -1265,6 +1302,7 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                                 lambda i, j, *_: (i, 0, 0, 0))
     data_spec = pl.BlockSpec((1, P, ndet, ndet),
                              lambda i, j, *_: (i, j, 0, 0))
+    fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t, s_pad // P),
@@ -1273,14 +1311,13 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         out_specs=[
             out_spec,
             out_spec,
-            pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
-                         memory_space=pltpu.SMEM),
+            fspec,
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct(out_dims, jnp.float32),
         jax.ShapeDtypeStruct(out_dims, jnp.float32),
-        jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        fshape,
     ]
     args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
     ore, oim, fsum = pl.pallas_call(
