@@ -858,13 +858,33 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         "gamma_prb": jnp.zeros((o.piter,), real_dtype),
     }
 
-    def precond_psi(gpsi, prb):
-        if o.precondition == "illum":
-            return _precondition_psi_illum(gpsi, prb, scan_i, geometry.nz,
-                                           geometry.n, o)
-        if o.precondition == "max":
-            return _precondition(gpsi, prb)
-        return gpsi
+    if o.precondition == "illum" and not o.recover_prb:
+        # Object-only runs: the probe never changes, so the
+        # illumination map (an FFT convolution + a 16k-element delta
+        # scatter -- several ms on TPU) is loop-INVARIANT. Precompute
+        # the divisor once instead of per accepted candidate; XLA does
+        # not hoist it out of the fori/while loop body on its own.
+        from tikejax.ops import patches as __patches
+
+        _power = jnp.sum(jnp.abs(prb0) ** 2, axis=1)
+        _illum = __patches.illumination_map(scan_i, _power, geometry.nz,
+                                            geometry.n)
+        _illum = _halo_fix(_psum(_illum, o.axis_name), o)
+        _m = jnp.max(_illum, axis=(-2, -1), keepdims=True)
+        if o.obj_axis_name is not None:
+            _m = lax.pmax(_m, o.obj_axis_name)
+        _illum_denom = jnp.maximum(_illum, 0.1 * _m)
+
+        def precond_psi(gpsi, prb):
+            return gpsi / _illum_denom.astype(gpsi.dtype)
+    else:
+        def precond_psi(gpsi, prb):
+            if o.precondition == "illum":
+                return _precondition_psi_illum(gpsi, prb, scan_i,
+                                               geometry.nz, geometry.n, o)
+            if o.precondition == "max":
+                return _precondition(gpsi, prb)
+            return gpsi
 
     def precond_prb(gprb, psi):
         if o.precondition == "illum":
