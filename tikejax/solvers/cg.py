@@ -690,9 +690,9 @@ class _Engine:
         """Safeguarded quadratic-interpolation candidate after the first
         candidate was rejected: minimiser of the quadratic through
         (0, f0) with slope fp0 and (gamma0, fg0), clipped to
-        [0.1, shrink] * gamma0 -- never beyond what plain halving would
-        try next, so deep-tail objective noise degrades gracefully to
-        backtracking instead of being chased."""
+        [shrink^2, shrink] * gamma0 -- never beyond what plain halving
+        would try next, so deep-tail objective noise degrades gracefully
+        to backtracking instead of being chased."""
         o = self.o
         denom = fg0 - f0 - fp0 * gamma0
         good = jnp.logical_and(denom > 0, fp0 < 0)
