@@ -4,10 +4,11 @@
 Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "iters/s", "vs_baseline": N, ...}
 
-vs_baseline compares against an engineering ESTIMATE of libtike-cufft on a
-V100 for the same configuration (~40 CG iters/s); the upstream publishes no
-numbers (BASELINE.json:13 "published": {}; BASELINE.md). Extra diagnostic
-fields ride along in the same JSON object.
+vs_baseline compares against a trajectory-matched engineering ESTIMATE
+of libtike-cufft on a V100 for the same configuration (~20 CG iters/s at
+the measured evaluation sequence); the upstream publishes no numbers
+(BASELINE.json:13 "published": {}; BASELINE.md). Extra diagnostic fields
+ride along in the same JSON object.
 """
 
 import json
@@ -43,22 +44,30 @@ V5E_MXU_TFLOPS = 197.0
 
 
 def _ls_evals(metrics, opts, piter):
-    """Per-iteration line-search evaluation count recovered from the
-    recorded gamma trace (gamma_i = gamma0_i * shrink^k => k+1 evals)."""
+    """APPROXIMATE per-iteration line-search evaluation count recovered
+    from the recorded gamma trace (gamma_i = gamma0_i * shrink^k =>
+    k+1 evals). With the default 'interp' search, accepted gammas can
+    lie off the halving grid, so rounded halving counts are +-1 per
+    rejection-iteration; good enough for the diagnostic roofline
+    fields. Honours TIKEJAX_GROW (the regrow warm-start factor)."""
+    import os
+
     gammas = to_host(metrics["gamma"])[:piter]
     shrink = opts.get("step_shrink", 0.5)
     step0 = opts.get("step0", 1.0)
+    grow = float(os.environ.get("TIKEJAX_GROW", "4"))
     evals = 0
     gamma_prev = 0.0
     for gam in gammas:
-        gamma0 = step0 if gamma_prev <= 0 else min(step0, 4.0 * gamma_prev)
+        gamma0 = step0 if gamma_prev <= 0 else min(step0,
+                                                   grow * gamma_prev)
         if gam <= 0:  # all halvings failed
             halvings = 16
         else:
             halvings = max(0, round(math.log(gam / gamma0, shrink)))
         evals += halvings + 1
         gamma_prev = float(gam)
-    return evals / piter
+    return evals / max(piter, 1)
 
 
 def _perf_model(g: Geometry, metrics, opts, dt, piter):

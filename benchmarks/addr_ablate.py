@@ -37,17 +37,18 @@ def main():
                     merged_linesearch=merged)
     sync(psi)
     compile_s = time.time() - t0
-    # Steady state: two chained data-dependent dispatches between two
-    # syncs so the ~0.4s readback overhead distorts < 10% even at
-    # ~3 ms/iter (each dispatch stays <= 512 iters per the transport
-    # limit).
+    # Steady state: two back-to-back dispatches (in-order device
+    # stream) between two syncs so the ~0.4s readback overhead distorts
+    # < 10% (each dispatch stays <= 512 iters per the transport limit).
     t0 = time.time()
     psi1, _, m = run(data, psi0, scan, prb, g, piter=piter,
                      model="gaussian", kernel="fused",
                     merged_linesearch=merged)
-    psi2, _, m2 = run(data, psi1, scan, prb, g, piter=piter,
+    # Second dispatch ALSO from psi0 (a run chained from the converged
+    # psi1 stalls after ~2 iterations and voids the windowing).
+    psi2, _, m2 = run(data, psi0, scan, prb, g, piter=piter,
                       model="gaussian", kernel="fused",
-                    merged_linesearch=merged)
+                      merged_linesearch=merged)
     sync(psi2)
     dt = max(time.time() - t0 - overhead, 1e-9)
     from tikejax.utils import to_host
@@ -57,7 +58,7 @@ def main():
         max(int(to_host(m["iters_run"])) - 1, 0)])
     print(f"NOROLL={os.environ.get('TIKEJAX_NOROLL', '0'):>2s}  "
           f"{n/dt:6.1f} iters/s  ({dt/n*1000:.2f} ms/iter, {n} iters, "
-          f"to-floor {dt/2:.2f}s, compile+1st {compile_s:.0f}s)  "
+          f"compile+1st {compile_s:.0f}s)  "
           f"minf_last={minf_l:.4e}", flush=True)
 
 

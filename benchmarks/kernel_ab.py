@@ -56,7 +56,7 @@ def main(tiers):
     overhead = sync_overhead_seconds()
     print(f"# sync overhead {overhead*1000:.0f} ms", file=sys.stderr)
 
-    piter = 50
+    piter = 400
     for tier in tiers:
         acc = op_accuracy(tier, gs, psi_s, scan_s, prb_s)
         t0 = time.time()
@@ -69,9 +69,13 @@ def main(tiers):
                         model="gaussian", kernel=tier)
         sync(psi)
         dt = max(time.time() - t0 - overhead, 1e-9)
-        print(f"{tier:10s} acc={acc:.2e}  {piter/dt:6.1f} iters/s "
-              f"(compile+1st {compile_s:.0f}s)  minf_last="
-              f"{scalar(m['minf'][-1]):.4e}", flush=True)
+        import numpy as np
+        from tikejax.utils import to_host
+        ran = max(int(to_host(m["iters_run"])), 1)
+        minf_l = float(np.asarray(to_host(m["minf"]))[ran - 1])
+        print(f"{tier:10s} acc={acc:.2e}  {ran/dt:6.1f} iters/s "
+              f"({ran} iters, compile+1st {compile_s:.0f}s)  minf_last="
+              f"{minf_l:.4e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -54,11 +54,14 @@ def main():
     device_sync(psi)  # block_until_ready is not a barrier on all transports
     dt = time.time() - t0
 
-    minf = to_host(metrics["minf"])
-    gamma = to_host(metrics["gamma"])
-    print(f"{args.piter} iters in {dt:.2f}s "
-          f"({args.piter / dt:.1f} iters/s incl. compile)")
-    for i in range(0, args.piter, max(1, args.piter // 8)):
+    # stop_on_stall / target_residual may exit early: truncate the
+    # metric arrays at the executed iteration count.
+    ran = max(int(to_host(metrics["iters_run"])), 1)
+    minf = to_host(metrics["minf"])[:ran]
+    gamma = to_host(metrics["gamma"])[:ran]
+    print(f"{ran} iters in {dt:.2f}s "
+          f"({ran / dt:.1f} iters/s incl. compile)")
+    for i in range(0, ran, max(1, ran // 8)):
         print(f"  iter {i:4d}: minf={minf[i]:.6e} gamma={gamma[i]:.3f}")
     print(f"  final   : minf={minf[-1]:.6e}")
 

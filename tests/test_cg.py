@@ -210,7 +210,7 @@ def test_merged_linesearch_matches(rng):
                                    np.asarray(mb["minf"]), rtol=1e-3)
         np.testing.assert_allclose(np.asarray(ma["gamma"]),
                                    np.asarray(mb["gamma"]), rtol=1e-3)
-    # Default ('auto' -> 'track' under merged): still converges.
+    # Default options (merged + 'auto' policies): still converges.
     _, _, mt = run(data, psi0, scan, prb, g, piter=8, model="gaussian",
                    kernel="fused", memory="frameless")
     assert np.asarray(mt["minf"])[-1] < np.asarray(mt["minf"])[0]

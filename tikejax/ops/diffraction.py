@@ -103,7 +103,7 @@ def _fused_precision(kernel: str):
     # A/B knob for the fast tier now that the kernel is MXU-bound
     # (Karatsuba = 3/4 of the MXU passes, at ~1.6x the operator error).
     import os
-    if os.environ.get("TIKEJAX_FUSED_KARA"):
+    if int(os.environ.get("TIKEJAX_FUSED_KARA", "0")):
         return "kara"
     return None
 

@@ -332,8 +332,9 @@ def _acc_rows(v2, nprb):
 
 def _minf_out(t, nblocks):
     """(ShapeDtypeStruct, BlockSpec) for the scalar-objective
-    accumulator: per-grid-step VMEM slots (default) or a revisited SMEM
-    scalar (_MINF_SMEM); the wrapper reduces with jnp.sum either way."""
+    accumulator: a revisited SMEM scalar (default, measured faster) or
+    per-grid-step VMEM slots (TIKEJAX_MINF_SMEM=0); the wrapper reduces
+    with jnp.sum either way."""
     if _MINF_SMEM:
         return (jax.ShapeDtypeStruct((t, 1), jnp.float32),
                 pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),

@@ -719,7 +719,9 @@ class _Engine:
         o = self.o
 
         st0 = (gamma0, f_of(gamma0), 0)
-        if self.ls == "interp" and fp0 is not None:
+        # The interp candidate replaces the FIRST halving, so it is
+        # only taken when the policy allows at least one halving.
+        if self.ls == "interp" and fp0 is not None and o.max_halvings > 0:
             def do(st):
                 gi = self._interp_gamma(gamma0, f0, st[1], fp0)
                 return gi, f_of(gi), 1
@@ -800,13 +802,11 @@ def _precondition(gpsi, prb):
     return gpsi * scale[:, None, None]
 
 
-def _precondition_psi_illum(gpsi, prb, scan_int, nz, n, o: CGOptions):
-    """Pixelwise object preconditioner: divide by the probe-illumination
-    map sum_k T_k(sum_m |prb_m|^2), regularised at 10% of its max (the
-    classic ptychography preconditioner; far better conditioned than the
-    scalar scaling when overlap density varies). Under object tiling the
-    map gets the same halo reduce+refresh as gradients and the floor is
-    the global (pmax-ed) per-angle maximum."""
+def _illum_denominator(prb, scan_int, nz, n, o: CGOptions):
+    """Denominator of the pixelwise object preconditioner: the probe-
+    illumination map sum_k T_k(sum_m |prb_m|^2), regularised at 10% of
+    its (globally pmax-ed under object tiling) per-angle maximum; halo
+    reduce+refreshed like gradients under tiling."""
     from tikejax.ops import patches as _patches
 
     power = jnp.sum(jnp.abs(prb)**2, axis=1)  # (t, nprb, nprb)
@@ -815,8 +815,15 @@ def _precondition_psi_illum(gpsi, prb, scan_int, nz, n, o: CGOptions):
     m = jnp.max(illum, axis=(-2, -1), keepdims=True)
     if o.obj_axis_name is not None:
         m = lax.pmax(m, o.obj_axis_name)
-    floor = 0.1 * m
-    return gpsi / jnp.maximum(illum, floor).astype(gpsi.dtype)
+    return jnp.maximum(illum, 0.1 * m)
+
+
+def _precondition_psi_illum(gpsi, prb, scan_int, nz, n, o: CGOptions):
+    """Pixelwise object preconditioner: divide by the probe-illumination
+    map (classic ptychography preconditioner; far better conditioned
+    than the scalar scaling when overlap density varies)."""
+    denom = _illum_denominator(prb, scan_int, nz, n, o)
+    return gpsi / denom.astype(gpsi.dtype)
 
 
 def _precondition_prb_illum(gprb, psi, scan_int, o: CGOptions):
@@ -864,16 +871,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         # scatter -- several ms on TPU) is loop-INVARIANT. Precompute
         # the divisor once instead of per accepted candidate; XLA does
         # not hoist it out of the fori/while loop body on its own.
-        from tikejax.ops import patches as __patches
-
-        _power = jnp.sum(jnp.abs(prb0) ** 2, axis=1)
-        _illum = __patches.illumination_map(scan_i, _power, geometry.nz,
-                                            geometry.n)
-        _illum = _halo_fix(_psum(_illum, o.axis_name), o)
-        _m = jnp.max(_illum, axis=(-2, -1), keepdims=True)
-        if o.obj_axis_name is not None:
-            _m = lax.pmax(_m, o.obj_axis_name)
-        _illum_denom = jnp.maximum(_illum, 0.1 * _m)
+        _illum_denom = _illum_denominator(prb0, scan_i, geometry.nz,
+                                          geometry.n, o)
 
         def precond_psi(gpsi, prb):
             return gpsi / _illum_denom.astype(gpsi.dtype)
@@ -909,9 +908,12 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         else:
             f_of = eng.quad_pass(psi, prb, scan, data, dpsi=d_psi,
                                  fpsi=fpsi)
-            # Directional derivative of the objective along d (RAW
-            # gradient: the preconditioner rescales grad, not f).
-            fp0 = eng._dot(gpsi_raw, d_psi, "psi")
+            # Directional derivative of the objective along d: for a
+            # real objective of a complex field, f'(0) = 2 Re<grad, d>
+            # with the Wirtinger gradient (RAW: the preconditioner
+            # rescales grad, not f). Verified against finite
+            # differences.
+            fp0 = 2.0 * eng._dot(gpsi_raw, d_psi, "psi")
             gamma = eng.line_search(f_of, f0, gamma0, fp0)
         psi = psi + gamma.astype(psi.dtype) * d_psi
         g_psi_prev = gpsi
@@ -937,7 +939,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
             else:
                 f_of_p = eng.quad_pass(psi, prb, scan, data, dprb=d_prb,
                                        fpsi=fpsi2)
-                fp0_p = eng._dot(gprb_raw, d_prb, "prb")
+                fp0_p = 2.0 * eng._dot(gprb_raw, d_prb, "prb")
                 gamma_p = eng.line_search(f_of_p, f0p, gamma0_p, fp0_p)
             prb = prb + gamma_p.astype(prb.dtype) * d_prb
             g_prb_prev = gprb
@@ -981,10 +983,11 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
 
         fc0, gc0 = eval_cand(gamma0)
         st_ls = (gamma0, fc0, gc0, jnp.zeros((), jnp.int32))
-        if eng.ls == "interp":
-            # Directional derivative from the RAW gradient (the
-            # preconditioner rescales grad, not f).
-            fp0 = eng._dot(g_raw, d, "psi")
+        if eng.ls == "interp" and o.max_halvings > 0:
+            # Directional derivative f'(0) = 2 Re<grad_raw, d> (the
+            # preconditioner rescales grad, not f; factor 2 from the
+            # Wirtinger convention, verified vs finite differences).
+            fp0 = 2.0 * eng._dot(g_raw, d, "psi")
 
             def do_interp(stt):
                 gi = eng._interp_gamma(gamma0, f_cur, stt[1], fp0)
