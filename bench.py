@@ -123,10 +123,10 @@ def main():
     # single dispatch must stay <= 512 iterations (longer dispatches
     # crashed the tunneled worker, BASELINE.md), so the steady state
     # runs TWO 400-iteration dispatches back-to-back (in-order device
-    # stream) between two syncs. With the default stop_on_stall the
-    # solver exits at its accuracy floor (~iter 230 here), so the
-    # measured window covers convergent iterations only; the rate
-    # divides by the iterations actually run.
+    # stream) between two syncs and divides by the iterations actually
+    # run: with the default interp search the runs keep descending for
+    # the full budget; with pure backtracking stop_on_stall exits at
+    # the accuracy floor (~iter 270) -- both are handled.
     piter = 400
     opts = dict(piter=piter, model="gaussian")
 
