@@ -47,10 +47,11 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 #                 fastest; ~1e-3 operator accuracy in f32).
 #   'fused_mp' -- same kernels, DFT matmuls via a Karatsuba complex mm
 #                 of manual bf16x3 real matmuls (~8e-6 operator
-#                 accuracy, ~36 iters/s on the headline config).
+#                 accuracy; ~53 iters/s honest full-window on the
+#                 headline -- faster than 'fused' over long runs).
 #   'fused_hp' -- same kernels, Karatsuba complex mm of full-f32 MXU
-#                 passes (~4e-7 operator accuracy, ~21 iters/s): use
-#                 when chasing deep residuals.
+#                 passes (~4e-7 operator accuracy, ~28 iters/s): use
+#                 when chasing the deepest residuals.
 #   'auto'     -- 'fused' on TPU, 'xla' elsewhere.
 _KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "auto")
 
