@@ -26,6 +26,9 @@ GEOMS = [
     Geometry(nz=64, n=72, nscan=13, ndet=24, nprb=16),          # odd sizes
     Geometry(nz=64, n=64, nscan=8, ndet=16, nprb=16, ntheta=2,
              nmodes=3),                                          # modes+theta
+    # probe side NOT a multiple of 8: exercises the v2 window row
+    # rounding (_window_hw2) and the matching accumulator rows.
+    Geometry(nz=64, n=64, nscan=9, ndet=32, nprb=20),
 ]
 
 

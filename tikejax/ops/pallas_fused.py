@@ -324,7 +324,7 @@ def _scatter_block(v2, ore, oim, acc_re, acc_im, y, x, nprb):
 
 
 def _acc_rows(v2, nprb):
-    return nprb + _SUB if v2 else nprb
+    return _window_hw2(nprb)[0] if v2 else nprb
 
 
 # --- wrapper-side scheme helpers ------------------------------------------

@@ -116,12 +116,15 @@ def _window_hw(nprb):
 
 
 def _window_hw2(nprb):
-    """v2 addressing window (see pallas_fused): nprb+8 rows -- the
+    """v2 addressing window (see pallas_fused): ~nprb+8 rows -- the
     sublane residual is folded into the DFT row factor instead of being
     applied with a dynamic sublane rotate, so there is no pow2 row-count
-    constraint and the window over-read halves. The lane dimension is
+    constraint and the window over-read halves. Rows are rounded up to a
+    sublane multiple so the dynamic window slice stays tile-clean for
+    probe sides that are not multiples of 8. The lane dimension is
     unchanged (the lane residual is applied with ONE lane roll)."""
-    return (nprb + _SUB, max(_next_pow2(nprb + _LANE), 2 * _LANE))
+    rows = -(-nprb // _SUB) * _SUB + _SUB
+    return (rows, max(_next_pow2(nprb + _LANE), 2 * _LANE))
 
 
 def _pad_object(x, nprb, hw=None):
