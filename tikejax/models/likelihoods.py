@@ -63,6 +63,24 @@ def poisson_minf(farplane, data, eps: float = 1e-8, axis_name=None):
     return _psum(jnp.sum(intensity - d * jnp.log(intensity + eps)), axis_name)
 
 
+def poisson_perfect_minf(data, eps: float = 1e-8, axis_name=None):
+    """Poisson objective at the perfect fit ``I = d``: the data-dependent
+    constant ``sum(d - d*log(d + eps))`` (same eps as
+    :func:`poisson_minf`, so ``poisson_minf - poisson_perfect_minf`` is
+    the generalized KL divergence ``sum(I - d + d*log((d+eps)/(I+eps)))``
+    -- nonnegative up to eps-level noise and zero iff I = d). The Poisson
+    objective itself is strongly NEGATIVE near its optimum whenever
+    counts exceed e, so convergence statistics must be measured as the
+    excess over this value, not over zero (the solver's Poisson
+    ``residual`` metric is ``sqrt(max(minf - this, 0) / sum(data))``).
+    Near the optimum the excess is ``~ sum (I-d)^2 / (2d)``, i.e. ~2x
+    the gaussian amplitude misfit ``sum (sqrt(I)-sqrt(d))^2 ~ sum
+    (I-d)^2 / (4d)``, so residual targets are comparable across the two
+    models (within sqrt(2))."""
+    d = jnp.maximum(data, 0.0)
+    return _psum(jnp.sum(d - d * jnp.log(d + eps)), axis_name)
+
+
 def poisson_residual(farplane, data, eps: float = 1e-8):
     intensity = total_intensity(farplane)
     d = jnp.maximum(data, 0.0)

@@ -54,6 +54,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                 segment: int = 512, max_segments: int = 24,
                 base_kernel: str | None = None,
                 fast_kernel: str | None = None,
+                segment_carry: bool = True,
                 options: _cg.CGOptions | None = None, **kw):
     """Reconstruct to a target relative residual.
 
@@ -70,6 +71,12 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         iterations between base re-freezes) and budget.
       base_kernel / fast_kernel: split-mode kernels (defaults:
         fused_hp / fused on TPU, the XLA oracle elsewhere).
+      segment_carry: continue the conjugate-gradient trajectory across
+        split-segment re-bases (the terminal direction/gradient/step
+        state seeds the next segment via cg.run's ``cg_init``) instead
+        of restarting each segment from steepest descent. The re-base
+        keeps psi_total unchanged, so the carried state is taken at the
+        same iterate -- CG momentum survives the re-freeze.
       options / kw: base CGOptions (piter/kernel/target_residual are
         overridden per stage; everything else -- model, nchunks, memory,
         linesearch -- applies where compatible). Measured note: the
@@ -96,7 +103,8 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
     if method == "split":
         return _reconstruct_split(data, psi0, scan, prb0, geometry,
                                   target_residual, segment, max_segments,
-                                  base_kernel, fast_kernel, options, tiers)
+                                  base_kernel, fast_kernel, options, tiers,
+                                  segment_carry)
 
     psi, prb = psi0, prb0
     stages = []
@@ -124,7 +132,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
 
 def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                        max_segments, base_kernel, fast_kernel, options,
-                       tiers):
+                       tiers, segment_carry=True):
     """Fast tier to its floor, then split-operator refinement segments."""
     if options.recover_prb:
         raise ValueError("method='split' is object-only; run joint "
@@ -148,17 +156,28 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # once per segment with the accurate tier; CG then runs on the small
     # correction delta with the fast kernels (errors scale with delta).
     opts2 = dataclasses.replace(options, kernel=fast, piter=segment,
-                                target_residual=target, nchunks=1)
+                                target_residual=target, nchunks=1,
+                                carry_state=segment_carry)
     # All device work stays jitted: eager complex constants / arithmetic
     # are unimplemented or pathologically slow on some TPU transports
     # (tikejax.utils.hostio).
     add = jax.jit(jnp.add)
+    state = None
     for _ in range(max_segments):
         f_base = _fwd_jit(psi, scan, prb, g.ndet, base)
         delta0 = hostio.czeros(g.psi_shape, psi.dtype)
         delta, _, m = _cg.run(data, delta0, scan, prb, g, opts2,
-                              f_base=f_base)
+                              f_base=f_base, cg_init=state)
         psi = add(psi, delta)
+        if segment_carry:
+            # The re-base leaves psi_total unchanged, so the terminal
+            # (direction, gradient, step) state is taken at the same
+            # iterate: the next segment's first Dai-Yuan step continues
+            # the SAME CG trajectory instead of restarting from
+            # steepest descent (momentum loss at every re-base was the
+            # measured cost of shorter segments -- BASELINE.md
+            # segment-sweep entry).
+            state = m["cg_state"]
         stages.append((f"split:{fast}", m))
         ran = int(hostio.to_host(m["iters_run"]))
         if ran < segment:
