@@ -1,11 +1,16 @@
 """Timing-only ablation of the patch-addressing cost on the real TPU.
 
 Runs the headline CG config (512^2 / 16k / 128^2, gaussian, fused
-frameless) under one TIKEJAX_NOROLL knob value (env, read at kernel
-import) and prints the rate. Knob meanings (ops/pallas_kernels.py):
+frameless) under one TIKEJAX_NOROLL knob value and prints the rate.
+The production kernel modules no longer read these WRONG-RESULTS
+switches from the environment (VERDICT r2 weak #5); this benchmark is
+the only place they exist, and it installs them as module globals BELOW,
+before the first kernel trace. Knob meanings (ops/pallas_kernels.py):
   0 full addressing (correct)      1 no rolls (wrong results)
   2 static window (wrong)          3 skip sublane rolls only (wrong)
   4 skip lane rolls only (wrong)
+TIKEJAX_V2ABL=1 additionally statics out the v2 probe-variant selects
+and row phases (wrong results; ops/pallas_fused.py).
 Usage: TIKEJAX_NOROLL=k python benchmarks/addr_ablate.py [piter]
 """
 
@@ -14,6 +19,14 @@ import sys
 import time
 
 import jax
+
+from tikejax.ops import pallas_fused as _pf
+from tikejax.ops import pallas_kernels as _pk
+
+# Install the timing-only (wrong-results) ablation switches before any
+# kernel is traced; jitted callers cache the value they see at trace.
+_pk._NOROLL = int(os.environ.get("TIKEJAX_NOROLL", "0"))
+_pf._V2ABL = int(os.environ.get("TIKEJAX_V2ABL", "0"))
 
 from tikejax import Geometry
 from tikejax.models import make_problem

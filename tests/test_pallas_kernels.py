@@ -163,3 +163,93 @@ def test_addressing_v1_v2_parity(rng, g):
     mb = pallas_fused.minf_fused(psi, data, scan_i, prb, g.ndet,
                                  "gaussian", addressing="v2")
     assert abs(float(ma) - float(mb)) < 2e-4 * (abs(float(ma)) + 1e-30)
+
+    # The paths with the trickiest phase bookkeeping (true->pf conversion
+    # of HBM farplanes before in-kernel mixing; ADVICE r2 #3): the
+    # materialized gradient tail, the quadratic line-search statistics,
+    # and the base=-carrying split-operator variants.
+    ga, fa = pallas_fused.adj_residual(farp, data, scan_i, prb, g.nz,
+                                       g.n, "gaussian", addressing="v1")
+    gb, fb = pallas_fused.adj_residual(farp, data, scan_i, prb, g.nz,
+                                       g.n, "gaussian", addressing="v2")
+    scale = float(jnp.max(jnp.abs(ga))) + 1e-30
+    assert float(jnp.max(jnp.abs(ga - gb))) < 2e-4 * scale, "adj_residual"
+    assert abs(float(fa) - float(fb)) < 2e-4 * (abs(float(fa)) + 1e-30)
+
+    fpsi = fwd_raw(psi2, scan, prb, g.ndet, kernel="xla")  # true-phase
+    qa = pallas_fused.fwd_quad_stats(psi, scan_i, prb, fpsi,
+                                     addressing="v1")
+    qb = pallas_fused.fwd_quad_stats(psi, scan_i, prb, fpsi,
+                                     addressing="v2")
+    for xa, xb, name in zip(qa, qb, "abc"):
+        scale = float(jnp.max(jnp.abs(xa))) + 1e-30
+        assert float(jnp.max(jnp.abs(xa - xb))) < 2e-4 * scale, (
+            f"fwd_quad_stats[{name}]")
+
+    base = fpsi  # any true-phase complex farplane works as a base
+    oa_ = pallas_fused.fwd(psi, scan_i, prb, g.ndet, base=base,
+                           addressing="v1")
+    ob_ = pallas_fused.fwd(psi, scan_i, prb, g.ndet, base=base,
+                           addressing="v2")
+    scale = float(jnp.max(jnp.abs(oa_))) + 1e-30
+    assert float(jnp.max(jnp.abs(oa_ - ob_))) < 2e-4 * scale, "fwd base="
+    for fn in (pallas_fused.grad_fused, pallas_fused.minf_fused):
+        ra = fn(psi, data, scan_i, prb, g.ndet, "gaussian", base=base,
+                addressing="v1")
+        rb = fn(psi, data, scan_i, prb, g.ndet, "gaussian", base=base,
+                addressing="v2")
+        fa_, fb_ = (ra[-1], rb[-1]) if isinstance(ra, tuple) else (ra, rb)
+        assert abs(float(fa_) - float(fb_)) < 2e-4 * (
+            abs(float(fa_)) + 1e-30), f"{fn.__name__} base= minf"
+        if isinstance(ra, tuple):
+            scale = float(jnp.max(jnp.abs(ra[0]))) + 1e-30
+            assert float(jnp.max(jnp.abs(ra[0] - rb[0]))) < 2e-4 * scale, (
+                f"{fn.__name__} base= grad")
+
+
+@pytest.mark.parametrize("kern", ["xla", "pallas", "fused"])
+def test_sentinel_masked_positions(rng, kern):
+    """Scan row < 0 marks a masked dummy position (tiling padding): fwd
+    emits zero frames for it, and the adjoints ignore its (arbitrary)
+    frames entirely -- on every kernel path."""
+    g = GEOMS[0]
+    psi, scan, prb, farp = make_inputs(rng, g)
+    # Append one dummy position with an arbitrary NONZERO farplane frame.
+    dummy = jnp.full((g.ntheta, 1, 2), jnp.float32(0.0)).at[..., 0].set(
+        -1.0)
+    scan_ext = jnp.concatenate([scan, dummy], axis=1)
+    extra = rand_c64(jax.random.fold_in(rng, 7),
+                     (g.ntheta, 1) + g.farplane_shape[2:])
+    farp_ext = jnp.concatenate([farp, extra], axis=1)
+
+    f_ref = fwd_raw(psi, scan, prb, g.ndet, kernel=kern)
+    f_ext = fwd_raw(psi, scan_ext, prb, g.ndet, kernel=kern)
+    np.testing.assert_array_equal(np.asarray(jnp.abs(f_ext[:, -1])), 0.0)
+    np.testing.assert_allclose(np.asarray(jnp.abs(f_ext[:, :-1] - f_ref)),
+                               0.0, atol=1e-6)
+
+    a_ref = adj_raw(farp, scan, prb, g.nz, g.n, kernel=kern)
+    a_ext = adj_raw(farp_ext, scan_ext, prb, g.nz, g.n, kernel=kern)
+    tol = 1e-5 * float(jnp.max(jnp.abs(a_ref)))
+    assert float(jnp.max(jnp.abs(a_ext - a_ref))) <= tol
+
+    p_ref = adj_probe_raw(farp, scan, psi, g.nprb, kernel=kern)
+    p_ext = adj_probe_raw(farp_ext, scan_ext, psi, g.nprb, kernel=kern)
+    tol = 1e-5 * float(jnp.max(jnp.abs(p_ref)))
+    assert float(jnp.max(jnp.abs(p_ext - p_ref))) <= tol
+
+
+def test_frames_per_step_guard(monkeypatch):
+    """Unverified TIKEJAX_FRAMES_PER_STEP values (compile-time cliff on
+    v5e) are rejected with a loud warning and fall back to 8 unless
+    explicitly forced (VERDICT r2 weak #4)."""
+    from tikejax.ops import pallas_fused
+
+    monkeypatch.setenv("TIKEJAX_FRAMES_PER_STEP", "16")
+    with pytest.warns(UserWarning, match="verified"):
+        assert pallas_fused._positions_per_step(1) == 8
+    monkeypatch.setenv("TIKEJAX_FRAMES_PER_STEP_FORCE", "1")
+    assert pallas_fused._positions_per_step(1) == 16
+    monkeypatch.delenv("TIKEJAX_FRAMES_PER_STEP_FORCE")
+    monkeypatch.setenv("TIKEJAX_FRAMES_PER_STEP", "8")
+    assert pallas_fused._positions_per_step(4) == 2

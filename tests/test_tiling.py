@@ -67,17 +67,58 @@ def test_tiled_joint_probe_and_fused():
 
 def test_partition_validation():
     g, psi_true, scan, prb, data, psi0 = tiling_problem(2)
-    # unbalanced: push one slab-0 position into slab 1
-    bad = np.asarray(scan).copy()
-    bad[0, 0, 0] = 50.0
-    with pytest.raises(ValueError, match="equally"):
-        partition_problem(psi0, bad, data, g, 2)
     with pytest.raises(ValueError, match="divide"):
         partition_problem(psi0, scan, data, g, 5)  # 96 % 5 != 0
     # slab too thin for the halo
     g2 = Geometry(nz=96, n=96, nscan=g.nscan, ndet=32, nprb=24)
     with pytest.raises(ValueError, match="slab height"):
         partition_problem(psi0, scan, data, g2, 8)  # owned 12 < 23
+
+
+def test_partition_unequal_counts_padded():
+    """Unequal per-slab owner counts are padded with sentinel dummies
+    (scan row = -1, zero data) to the global maximum (VERDICT r2 next
+    #5: the v1 equal-split restriction rejected real jittered scans)."""
+    g, psi_true, scan, prb, data, psi0 = tiling_problem(2)
+    # unbalanced: push one slab-0 position into slab 1
+    bad = np.asarray(scan).copy()
+    bad[0, 0, 0] = 50.0
+    slabs, scan_loc, data_p, owned = partition_problem(
+        psi0, bad, data, g, 2)
+    assert scan_loc.shape[2] == g.nscan // 2 + 1  # padded to the max
+    n_valid = (scan_loc[..., 0] >= 0).sum()
+    assert n_valid == g.nscan  # every real position owned exactly once
+    # dummies carry zero data
+    dummy = scan_loc[..., 0] < 0
+    assert (data_p[dummy] == 0).all()
+
+
+@pytest.mark.parametrize("kern", ["xla", "fused"])
+def test_tiled_jittered_scan_matches_single(kern):
+    """run_tiled on a realistic jittered raster grid (unequal owner
+    counts) matches the single-device run -- the VERDICT r2 'done'
+    criterion for P3."""
+    from tikejax.models import raster_scan, simulate_intensities
+
+    g = Geometry(nz=96, n=96, nscan=30, ndet=32, nprb=24)
+    scan = raster_scan(jax.random.PRNGKey(3), g, jitter=3.0)
+    # Confirm the jitter actually unbalances the owner counts.
+    owner = np.floor(np.asarray(scan)[..., 0]).astype(int) // (g.nz // 2)
+    counts = [(owner == d).sum() for d in range(2)]
+    assert counts[0] != counts[1], f"grid accidentally balanced: {counts}"
+    psi_true = make_object(jax.random.PRNGKey(0), 1, g.nz, g.n,
+                           jnp.complex64)
+    prb = make_probe(1, 1, g.nprb, jnp.complex64)
+    data = simulate_intensities(psi_true, scan, prb, g.ndet)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=10, kernel=kern)
+    psi_t, _, m_t = run_tiled(data, psi0, scan, prb, g, make_obj_mesh(2),
+                              piter=10, kernel=kern)
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_t["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_1 - psi_t))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_1)))
 
 
 def test_partition_roundtrip():

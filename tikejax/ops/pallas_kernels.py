@@ -140,13 +140,21 @@ def _aligned(y, x):
     return y0, y - y0, x0, x - x0
 
 
-import os as _os
+def _pos_ok(y):
+    """Sentinel test for masked positions (scan row < 0 marks a dummy --
+    see pallas_fused._pos_ok): returns (clamped_y, valid_f32_scalar)."""
+    return jnp.maximum(y, 0), jnp.where(y >= 0, jnp.float32(1.0),
+                                        jnp.float32(0.0))
 
-# Timing-only ablation knob: 1 skips the dynamic rotates (WRONG results)
-# to measure their share of kernel time; 2 additionally skips the
-# aligned window read (loads a static window); 3 skips only the sublane
-# (axis 0) rolls; 4 skips only the lane (axis 1) rolls.
-_NOROLL = int(_os.environ.get("TIKEJAX_NOROLL", "0"))
+
+# Timing-only ablation switch: 1 skips the dynamic rotates (WRONG
+# results) to measure their share of kernel time; 2 additionally skips
+# the aligned window read (loads a static window); 3 skips only the
+# sublane (axis 0) rolls; 4 skips only the lane (axis 1) rolls. NOT an
+# env knob (wrong-results switches stay off the production import path):
+# benchmarks/addr_ablate.py sets this module global explicitly, before
+# the first trace.
+_NOROLL = 0
 
 
 def _load_patch(ref, y, x, nprb):
@@ -240,8 +248,9 @@ def _gather_mul_kernel(P, nmodes, nprb, sy, sx, pre, pim, bre, bim, ore,
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
+        y, pv = _pos_ok(y)
+        ar = _load_patch(pre, y, x, nprb) * pv
+        ai = _load_patch(pim, y, x, nprb) * pv
         for m in range(nmodes):
             br = bre[0, m]
             bi = bim[0, m]
@@ -322,6 +331,7 @@ def _scatter_kernel(P, nmodes, nprb, sy, sx, fre, fim, bre, bim, ore, oim):
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
+        y, pv = _pos_ok(y)
         acc_re = jnp.zeros((nprb, nprb), jnp.float32)
         acc_im = jnp.zeros((nprb, nprb), jnp.float32)
         for m in range(nmodes):
@@ -332,8 +342,8 @@ def _scatter_kernel(P, nmodes, nprb, sy, sx, fre, fim, bre, bim, ore, oim):
             # conj(prb) * frame
             acc_re = acc_re + (br * fr + bi * fi)
             acc_im = acc_im + (br * fi - bi * fr)
-        _accum_patch(ore, acc_re, y, x, nprb)
-        _accum_patch(oim, acc_im, y, x, nprb)
+        _accum_patch(ore, acc_re * pv, y, x, nprb)
+        _accum_patch(oim, acc_im * pv, y, x, nprb)
 
 
 def scatter_conj_probe(nearplane: jax.Array, scan_int: jax.Array,
@@ -412,8 +422,9 @@ def _adj_probe_kernel(P, nmodes, nprb, sy, sx, fre, fim, pre, pim, ore,
     for p in range(P):
         y = sy[i, j * P + p]
         x = sx[i, j * P + p]
-        ar = _load_patch(pre, y, x, nprb)
-        ai = _load_patch(pim, y, x, nprb)
+        y, pv = _pos_ok(y)
+        ar = _load_patch(pre, y, x, nprb) * pv
+        ai = _load_patch(pim, y, x, nprb) * pv
         for m in range(nmodes):
             fr = fre[0, p, m]
             fi = fim[0, p, m]

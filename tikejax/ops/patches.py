@@ -17,6 +17,14 @@ in-bounds: ``0 <= y <= nz - nprb``, ``0 <= x <= n - nprb``. Out-of-bounds
 positions would clamp in the gather but drop in the scatter, silently
 breaking fwd/adj adjointness -- use :func:`check_scan_in_bounds` in host
 code when ingesting untrusted positions.
+
+Exception: a scan ROW < 0 is the documented sentinel for a **masked
+dummy position** (used by tikejax.parallel.tiling to pad unequal
+per-slab position counts to a static shape). Every operator here -- and
+every Pallas kernel (ops.pallas_kernels._pos_ok / ops.pallas_fused) --
+treats such positions as contributing exactly zero: gathers return zero
+patches, scatters add nothing, the illumination/power preconditioner
+maps skip them. fwd/adj remain exact adjoint pairs under the mask.
 """
 
 from __future__ import annotations
@@ -57,16 +65,21 @@ def gather_patches(psi: jax.Array, scan_int: jax.Array,
       nprb: patch side.
 
     Returns:
-      ``(ntheta, nscan, nprb, nprb)`` patches, same dtype as ``psi``.
+      ``(ntheta, nscan, nprb, nprb)`` patches, same dtype as ``psi``
+      (zero for sentinel-masked positions, scan row < 0).
     """
 
     def per_angle(psi_t, scan_t):
         def per_pos(s):
+            # dynamic_slice clamps a negative start to 0; the sentinel
+            # mask below zeroes the whole dummy patch.
             return lax.dynamic_slice(psi_t, (s[0], s[1]), (nprb, nprb))
 
         return jax.vmap(per_pos)(scan_t)
 
-    return jax.vmap(per_angle)(psi, scan_int)
+    patches = jax.vmap(per_angle)(psi, scan_int)
+    valid = scan_int[..., 0] >= 0
+    return patches * valid[..., None, None].astype(patches.dtype)
 
 
 def _index_grids(scan_int: jax.Array, nprb: int):
@@ -105,7 +118,10 @@ def scatter_patches_add(patches: jax.Array, scan_int: jax.Array, nz: int,
       ``(ntheta, nz, n)`` accumulated object-domain array.
     """
     nprb = patches.shape[-1]
-    iy, ix = _index_grids(scan_int, nprb)
+    valid = scan_int[..., 0] >= 0
+    patches = patches * valid[..., None, None].astype(patches.dtype)
+    # Clamp sentinel rows so the (zeroed) dummy scatter lands in-bounds.
+    iy, ix = _index_grids(jnp.maximum(scan_int, 0), nprb)
 
     def per_angle(p_t, iy_t, ix_t):
         return _zeros((nz, n), p_t.dtype).at[iy_t, ix_t].add(p_t)
@@ -125,8 +141,11 @@ def illumination_map(scan_int: jax.Array, kernel: jax.Array, nz: int,
     nprb = kernel.shape[-1]
     h, w = nz + nprb, n + nprb
     tt = jnp.arange(ntheta, dtype=jnp.int32)[:, None]
+    # Sentinel-masked dummies (scan row < 0) get zero delta weight.
+    valid = (scan_int[..., 0] >= 0).astype(kernel.dtype)
     delta = jnp.zeros((ntheta, h, w), kernel.dtype).at[
-        tt, scan_int[..., 0], scan_int[..., 1]].add(1)
+        tt, jnp.maximum(scan_int[..., 0], 0),
+        jnp.maximum(scan_int[..., 1], 0)].add(valid)
     kpad = jnp.pad(kernel, ((0, 0), (0, h - nprb), (0, w - nprb)))
     conv = jnp.fft.irfft2(
         jnp.fft.rfft2(delta) * jnp.fft.rfft2(kpad), s=(h, w))
@@ -143,8 +162,11 @@ def patch_power_map(scan_int: jax.Array, field_power: jax.Array,
     ntheta, nz, n = field_power.shape
     h, w = nz + nprb, n + nprb
     tt = jnp.arange(ntheta, dtype=jnp.int32)[:, None]
+    # Sentinel-masked dummies (scan row < 0) get zero delta weight.
+    valid = (scan_int[..., 0] >= 0).astype(field_power.dtype)
     delta = jnp.zeros((ntheta, h, w), field_power.dtype).at[
-        tt, scan_int[..., 0], scan_int[..., 1]].add(1)
+        tt, jnp.maximum(scan_int[..., 0], 0),
+        jnp.maximum(scan_int[..., 1], 0)].add(valid)
     fpad = jnp.pad(field_power, ((0, 0), (0, nprb), (0, nprb)))
     corr = jnp.fft.irfft2(
         jnp.conj(jnp.fft.rfft2(delta)) * jnp.fft.rfft2(fpad), s=(h, w))

@@ -17,10 +17,16 @@ so communication is O(n * nprb) per step while compute is O(nscan/D *
 ndet^2 * nprb) -- the surface-to-volume ratio that makes domain tiling
 scale. The fused Pallas kernels run unchanged on each local slab.
 
-Restrictions (v1): positions must split EQUALLY across slabs (static
-shapes; raster-style scans satisfy this -- `partition_problem` validates
-and reports the counts otherwise), object rows must divide by the slab
-count, and `nscan` chunking/frameless memory work as usual per slab.
+Positions may split UNEQUALLY across slabs (jittered real-world scans
+do): `partition_problem` pads every slab's position list to the global
+per-slab maximum with sentinel-masked dummy positions (scan row = -1, a
+documented operator-level mask -- see ops.patches; zero data frames),
+which every kernel treats as contributing exactly zero, so the tiled
+run matches the single-device reconstruction bit-for-bit in structure
+while keeping static shapes. Remaining restrictions: object rows must
+divide by the slab count, each slab must be at least ``nprb - 1`` rows
+tall, and `nscan` chunking requires the padded per-slab count to divide
+by ``nchunks``.
 """
 
 from __future__ import annotations
@@ -52,10 +58,14 @@ def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int):
     Returns ``(psi_slabs, scan_loc, data_p, owned)`` where
     ``psi_slabs (D, t, owned + halo, n)`` are the extended object slabs
     (halo rows replicate the next slab's top rows; the last slab's halo
-    is zero), ``scan_loc (D, t, nscan/D, 2)`` are slab-local (y, x)
-    positions sorted by owner, and ``data_p`` the matching frames.
+    is zero), ``scan_loc (D, t, s_max, 2)`` are slab-local (y, x)
+    positions sorted by owner -- padded per (slab, theta) to the global
+    maximum owner count ``s_max`` with sentinel dummies (y = -1, masked
+    to zero contribution by every kernel) -- and ``data_p`` the matching
+    frames (zero for dummies).
 
-    Raises ValueError when rows or positions don't split equally.
+    Raises ValueError when object rows don't split equally or positions
+    are out of bounds.
     """
     g = geometry
     D = n_slabs
@@ -80,24 +90,21 @@ def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int):
                          "tikejax.models.check_scan first")
     owner = y_int // owned  # (t, s)
 
-    s_loc = g.nscan // D
+    # Pad every (slab, theta) position list to the global maximum owner
+    # count with sentinel dummies: static shapes for the kernels, zero
+    # contribution by the operator-level mask (ops.patches docstring).
     counts = np.stack([(owner == d).sum(axis=1) for d in range(D)])
-    if g.nscan % D != 0 or (counts != s_loc).any():
-        raise ValueError(
-            "positions must split equally across slabs for tiling "
-            f"(expected {g.nscan // D} per slab, got per-(slab, theta) "
-            f"counts {counts.tolist()}); re-grid the scan or use "
-            "position sharding (tikejax.parallel.run_sharded) instead")
-
-    scan_loc = np.empty((D, g.ntheta, s_loc, 2), np.float32)
-    data_p = np.empty((D, g.ntheta, s_loc, g.ndet, g.ndet), np.float32)
+    s_loc = int(counts.max())
+    scan_loc = np.full((D, g.ntheta, s_loc, 2), -1.0, np.float32)
+    scan_loc[..., 1] = 0.0
+    data_p = np.zeros((D, g.ntheta, s_loc, g.ndet, g.ndet), np.float32)
     for d in range(D):
         for t in range(g.ntheta):
             idx = np.nonzero(owner[t] == d)[0]
             sc = scan[t, idx].copy()
             sc[:, 0] -= d * owned  # slab-local rows
-            scan_loc[d, t] = sc
-            data_p[d, t] = data[t, idx]
+            scan_loc[d, t, :len(idx)] = sc
+            data_p[d, t, :len(idx)] = data[t, idx]
 
     psi_slabs = np.zeros((D, g.ntheta, owned + halo, g.n), psi0.dtype)
     for d in range(D):
@@ -144,7 +151,7 @@ def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
     halo = g.nprb - 1
 
     g_local = dataclasses.replace(g, nz=owned + halo,
-                                  nscan=g.nscan // D)
+                                  nscan=scan_loc.shape[2])
     opts = dataclasses.replace(options, obj_axis_name=axis,
                                obj_halo=halo, obj_axis_size=D)
 
