@@ -100,3 +100,45 @@ def test_compat_solver(rng):
     with pytest.raises(ValueError, match="shape"):
         solver.fwd(np.zeros((1, 8, 8), np.complex64), np.asarray(scan),
                    np.asarray(prb))
+
+
+def test_compat_reconstruct(rng):
+    """The facade reaches the deep-residual driver (VERDICT r2 next #9):
+    reconstruct to a target through the reference-shaped entry point."""
+    from tikejax.compat import CGPtychoSolver
+
+    g = Geometry(nz=64, n=64, nscan=36, ndet=32, nprb=20)
+    psi_true, scan, prb, data = make_problem(rng, g, dtype=jnp.complex64)
+    solver = CGPtychoSolver(ntheta=1, nz=64, n=64, nscan=36, ndet=32,
+                            nprb=20)
+    out = solver.reconstruct(np.asarray(data),
+                             np.ones(g.psi_shape, np.complex64),
+                             np.asarray(scan), np.asarray(prb),
+                             target_residual=1e-4, segment=64,
+                             max_segments=8)
+    assert out["psi"].shape == g.psi_shape
+    assert isinstance(out["psi"], np.ndarray)
+    assert out["residual_last"] <= 1e-4
+    assert out["iters_run"] > 1
+    assert len(out["stages"]) >= 1
+
+
+def test_compat_mesh(rng):
+    """Opt-in mesh: the facade run executes scan-sharded and matches the
+    single-device result."""
+    from tikejax.compat import CGPtychoSolver
+    from tikejax.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    g = Geometry(nz=64, n=64, nscan=36, ndet=32, nprb=20)
+    psi_true, scan, prb, data = make_problem(rng, g, dtype=jnp.complex64)
+    solver = CGPtychoSolver(ntheta=1, nz=64, n=64, nscan=36, ndet=32,
+                            nprb=20)
+    args = (np.asarray(data), np.ones(g.psi_shape, np.complex64),
+            np.asarray(scan), np.asarray(prb))
+    out1 = solver.run(*args, piter=6)
+    out2 = solver.run(*args, piter=6, mesh=make_mesh(2))
+    np.testing.assert_allclose(out2["psi"], out1["psi"], rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(out2["minf"], out1["minf"], rtol=2e-4)

@@ -85,18 +85,68 @@ class CGPtychoSolver:
     # -- solver ----------------------------------------------------------
 
     def run(self, data, psi, scan, prb, piter: int = 32,
-            model: str = "gaussian", recover_prb: bool = False, **kw):
+            model: str = "gaussian", recover_prb: bool = False,
+            mesh=None, **kw):
         """Reconstruct; mirrors the reference's ``run`` signature.
+
+        With ``mesh`` (a ``jax.sharding.Mesh`` from
+        ``tikejax.parallel.make_mesh``: 1-D scan-position sharding or
+        2-D ('theta', 'scan')), the run executes sharded over the mesh
+        via :func:`tikejax.parallel.run_sharded` -- same semantics, the
+        full multi-chip capability surface behind the reference-shaped
+        entry point.
 
         Returns a dict with numpy arrays: {'psi', 'prb', 'minf', 'gamma',
         'grad_norm', 'gamma_prb'} (the reference prints diagnostics and
         returns arrays; here the per-iteration metrics come back too).
         """
         kw.setdefault("kernel", self.kernel)
-        psi_r, prb_r, metrics = _cg.run(
-            hostio.to_device(data, np.float32), self._psi(psi),
-            self._scan(scan), self._prb(prb), self.geometry,
-            piter=piter, model=model, recover_prb=recover_prb, **kw)
+        args = (hostio.to_device(data, np.float32), self._psi(psi),
+                self._scan(scan), self._prb(prb), self.geometry)
+        kw.update(piter=piter, model=model, recover_prb=recover_prb)
+        if mesh is not None:
+            from tikejax.parallel import run_sharded, shard_problem
+
+            d_s, s_s = shard_problem(mesh, args[0], args[2])
+            psi_r, prb_r, metrics = run_sharded(
+                d_s, args[1], s_s, args[3], self.geometry, mesh, **kw)
+        else:
+            psi_r, prb_r, metrics = _cg.run(*args, **kw)
         out = {"psi": hostio.to_host(psi_r), "prb": hostio.to_host(prb_r)}
         out.update({k: hostio.to_host(v) for k, v in metrics.items()})
         return out
+
+    def reconstruct(self, data, psi, scan, prb,
+                    target_residual: float = 1e-6, **kw):
+        """Deep-residual reconstruction to a target relative residual
+        (the split-operator / tier-chaining driver,
+        :func:`tikejax.solvers.reconstruct`) through the
+        reference-shaped facade.
+
+        Returns a dict {'psi', 'prb', 'residual_last', 'iters_run',
+        'stages'}: ``stages`` lists (stage_name, iterations) pairs.
+        """
+        from tikejax.solvers import reconstruct as _reconstruct
+
+        kw.setdefault("kernel", self.kernel)
+        if kw.get("kernel") == "auto":
+            del kw["kernel"]  # reconstruct chains tiers itself
+        psi_r, prb_r, stages = _reconstruct(
+            hostio.to_device(data, np.float32), self._psi(psi),
+            self._scan(scan), self._prb(prb), self.geometry,
+            target_residual=target_residual, **kw)
+        total = 0
+        names = []
+        res_last = None
+        for name, m in stages:
+            k = int(hostio.to_host(m["iters_run"]))
+            total += k
+            names.append((name, k))
+            if k > 0:
+                res_last = float(
+                    np.asarray(hostio.to_host(m["residual"]))[k - 1])
+        return {"psi": hostio.to_host(psi_r),
+                "prb": hostio.to_host(prb_r),
+                "residual_last": res_last,
+                "iters_run": total,
+                "stages": names}
