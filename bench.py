@@ -49,13 +49,12 @@ def _ls_evals(metrics, opts, piter):
     k+1 evals). With the default 'interp' search, accepted gammas can
     lie off the halving grid, so rounded halving counts are +-1 per
     rejection-iteration; good enough for the diagnostic roofline
-    fields. Honours TIKEJAX_GROW (the regrow warm-start factor)."""
-    import os
-
+    fields. Honours the options' regrow warm-start factor."""
     gammas = to_host(metrics["gamma"])[:piter]
     shrink = opts.get("step_shrink", 0.5)
     step0 = opts.get("step0", 1.0)
-    grow = float(os.environ.get("TIKEJAX_GROW", "4"))
+    from tikejax.solvers.cg import CGOptions
+    grow = opts.get("step_growth", CGOptions.step_growth)
     evals = 0
     gamma_prev = 0.0
     for gam in gammas:
@@ -70,6 +69,13 @@ def _ls_evals(metrics, opts, piter):
     return evals / max(piter, 1)
 
 
+# bf16 MXU passes per complex matmul, by kernel tier: the single-pass
+# tier uses the schoolbook form (4 real mms x 1 bf16 pass); fused_mp
+# uses Karatsuba (3 real mms) of bf16x3 (3 passes each) = 9; fused_hp's
+# full-f32 mms are counted at the f32:bf16 throughput ratio.
+_MXU_PASSES = {"fused": 4, "fused_mp": 9, "fused_hp": 12}
+
+
 def _perf_model(g: Geometry, metrics, opts, dt, piter):
     """Roofline figures for the (default) frameless fused path.
 
@@ -77,8 +83,9 @@ def _perf_model(g: Geometry, metrics, opts, dt, piter):
     bound, not bandwidth-bound. (The materialized path measured 0.99 of
     the 819 GB/s HBM roofline in round 2 -- BASELINE.md; frameless beat
     it by removing the bandwidth wall entirely.) MXU work: each frame
-    costs ~4*ndet*nprb*(nprb+ndet) MACs per DFT application (schoolbook
-    complex mm; the v2 row-extended stage-1 adds ~6%).
+    costs ~ndet*nprb*(nprb+ndet) complex MACs per DFT application, at
+    the tier's bf16-pass multiplier (_MXU_PASSES; the v2 row-extended
+    stage-1 adds ~6%, uncounted).
 
     With the merged gradient/line-search (the default here) EVERY
     objective evaluation is a gradient mega-kernel pass: 1 data read +
@@ -86,9 +93,11 @@ def _perf_model(g: Geometry, metrics, opts, dt, piter):
     gradient pass. Classic mode: one gradient pass (1 read + 2 apps)
     plus 1 read + 1 app per line-search evaluation.
     """
+    from tikejax.ops.diffraction import resolve_kernel
     from tikejax.solvers.cg import CGOptions, _Engine, normalize_options
 
-    eng = _Engine(g, normalize_options(CGOptions(**opts)))
+    nopts = normalize_options(CGOptions(**opts))
+    eng = _Engine(g, nopts)
     data_px = g.ntheta * g.nscan * g.ndet * g.ndet
     evals = _ls_evals(metrics, opts, piter)
     if eng.merged:
@@ -97,7 +106,8 @@ def _perf_model(g: Geometry, metrics, opts, dt, piter):
         reads, apps = 1 + evals, 2.0 + evals
     total_bytes = piter * reads * 4 * data_px
     gbps = total_bytes / dt / 1e9
-    macs_per_app = 4 * g.ndet * g.nprb * (g.nprb + g.ndet)
+    passes = _MXU_PASSES.get(resolve_kernel(nopts.kernel), 4)
+    macs_per_app = passes * g.ndet * g.nprb * (g.nprb + g.ndet)
     frames = g.ntheta * g.nscan * g.nmodes
     flops = piter * apps * frames * macs_per_app * 2
     tflops = flops / dt / 1e12
@@ -145,18 +155,32 @@ def main():
     sync_overhead = sync_overhead_seconds()
     log(f"sync overhead: {sync_overhead * 1000:.0f} ms")
 
-    # Steady state: two dispatches per window.
-    t0 = time.time()
-    psi1, _, metrics = run(data, psi0, scan, prb, g, **opts)
-    psi, _, metrics2 = run(data, psi0, scan, prb, g, **opts)
-    sync(psi)
-    dt2 = max(time.time() - t0 - sync_overhead, 1e-9)
+    # Steady state: two dispatches per window, MEDIAN of 3 windows with
+    # the run-to-run spread attached (single windows sample a +-12%
+    # spread; VERDICT r2 next #3 -- the headline must be statistically
+    # honest, and every doc quotes the driver-captured number).
+    rates, dts, windows = [], [], []
+    for _ in range(3):
+        t0 = time.time()
+        psi1, _, metrics = run(data, psi0, scan, prb, g, **opts)
+        psi, _, metrics2 = run(data, psi0, scan, prb, g, **opts)
+        sync(psi)
+        dt2 = max(time.time() - t0 - sync_overhead, 1e-9)
+        iters1 = int(to_host(metrics["iters_run"]))
+        iters2 = int(to_host(metrics2["iters_run"]))
+        rates.append((iters1 + iters2) / dt2)
+        dts.append(dt2)
+        windows.append(iters1 + iters2)
+        log(f"steady window: {iters1}+{iters2} iters in {dt2:.2f}s "
+            f"({rates[-1]:.1f} iters/s)")
+    order = int(np.argsort(rates)[len(rates) // 2])
+    iters_per_sec = rates[order]
+    dt2, window_iters = dts[order], windows[order]
+    spread = (max(rates) - min(rates)) / iters_per_sec
+    # Evals/perf model over the LAST window (whose metrics we hold).
     iters1 = int(to_host(metrics["iters_run"]))
-    iters2 = int(to_host(metrics2["iters_run"]))
-    dt = dt2 * iters1 / max(iters1 + iters2, 1)
-    iters_per_sec = (iters1 + iters2) / dt2
-    log(f"steady: {iters1}+{iters2} iters in {dt2:.2f}s")
-    piter = iters1  # evals/perf model over the executed window
+    dt = dts[-1] * iters1 / max(windows[-1], 1)
+    piter = iters1
 
     minf_arr = np.asarray(to_host(metrics["minf"]))
     res_arr = np.asarray(to_host(metrics["residual"]))
@@ -208,9 +232,11 @@ def main():
         "config": "512^2 object, 16384 positions, 128^2 probe/det, "
                   "gaussian",
         "device": f"{dev.platform}:{dev.device_kind}",
+        "spread": round(spread, 3),
+        "window_rates": [round(r, 2) for r in rates],
         "steady_window_s": round(dt2, 3),
-        "steady_window_iters": iters1 + iters2,
-        "ms_per_iter": round(1000.0 * dt2 / max(iters1 + iters2, 1), 3),
+        "steady_window_iters": window_iters,
+        "ms_per_iter": round(1000.0 * dt2 / max(window_iters, 1), 3),
         "minf_first_iter": minf0,
         "minf_last_iter": minf_last,
         "rel_residual_last_iter": res_last,
