@@ -44,6 +44,23 @@ def test_sharded_matches_single(problem, ndev):
         jnp.max(jnp.abs(psi_1)))
 
 
+def test_sharded_uneven_nscan(problem):
+    """nscan NOT divisible by the mesh axis: the tail shard is padded
+    with sentinel-masked dummies and the result still matches the
+    single-device run."""
+    g = Geometry(nz=96, n=96, nscan=61, ndet=32, nprb=24)
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(5), g,
+                                             dtype=jnp.complex64)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=10)
+    mesh = make_mesh(4)  # 61 % 4 != 0
+    psi_n, _, m_n = run_sharded(data, psi0, scan, prb, g, mesh, piter=10)
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_n["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_1 - psi_n))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_1)))
+
+
 def test_sharded_joint_multimode_chunked(problem):
     """Sharding composes with probe recovery, multi-mode, minibatching."""
     g = Geometry(nz=96, n=96, nscan=64, ndet=32, nprb=24, nmodes=2)
@@ -123,8 +140,12 @@ def test_theta_sharded_validation():
         run_sharded(data, psi0, scan, prb, g, mesh)
 
 
-def test_sharded_validation(problem):
-    g, _, scan, prb, data, psi0 = problem
+def test_sharded_indivisible_nscan_pads(problem):
+    """An nscan that does not divide by the mesh axis no longer raises:
+    the tail is sentinel-padded and the result matches single-device."""
+    g, psi_true, scan, prb, data, psi0 = problem
     mesh = make_mesh(3)  # 64 % 3 != 0
-    with pytest.raises(ValueError, match="divisible"):
-        run_sharded(data, psi0, scan, prb, g, mesh)
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=8)
+    psi_n, _, m_n = run_sharded(data, psi0, scan, prb, g, mesh, piter=8)
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_n["minf"]), rtol=2e-4)

@@ -105,11 +105,13 @@ class CGPtychoSolver:
                 self._scan(scan), self._prb(prb), self.geometry)
         kw.update(piter=piter, model=model, recover_prb=recover_prb)
         if mesh is not None:
-            from tikejax.parallel import run_sharded, shard_problem
+            from tikejax.parallel import run_sharded
 
-            d_s, s_s = shard_problem(mesh, args[0], args[2])
+            # run_sharded handles placement (and pads uneven nscan with
+            # sentinel dummies); no pre-sharding needed at the facade.
             psi_r, prb_r, metrics = run_sharded(
-                d_s, args[1], s_s, args[3], self.geometry, mesh, **kw)
+                args[0], args[1], args[2], args[3], self.geometry, mesh,
+                **kw)
         else:
             psi_r, prb_r, metrics = _cg.run(*args, **kw)
         out = {"psi": hostio.to_host(psi_r), "prb": hostio.to_host(prb_r)}

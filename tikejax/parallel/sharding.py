@@ -115,8 +115,11 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
     Args:
       mesh: 1-D mesh (its axis shards scan positions) or 2-D
         ('theta', 'scan') mesh (leading axis additionally shards the
-        angle axis of psi/prb/scan/data). ``nscan`` (resp. ``ntheta``)
-        must be divisible by the corresponding axis size.
+        angle axis of psi/prb/scan/data). ``ntheta`` must be divisible
+        by the theta axis size; ``nscan`` need NOT divide by the scan
+        axis size -- the tail shard is padded with sentinel-masked dummy
+        positions (scan row -1, zero data; see ops.patches), which every
+        kernel treats as contributing exactly zero.
 
     Returns:
       (psi, prb, metrics) -- psi/prb replicated (1-D mesh) or sharded
@@ -130,9 +133,19 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
     theta_ax, scan_ax = _axes(mesh)
     nsh = mesh.shape[scan_ax]
     if geometry.nscan % nsh != 0:
-        raise ValueError(
-            f"nscan ({geometry.nscan}) must be divisible by the mesh axis "
-            f"size ({nsh})")
+        # Pad the scan axis to a multiple of the mesh axis with sentinel
+        # dummies so every device gets an equal static shard.
+        import jax.numpy as jnp
+
+        s_pad = -(-geometry.nscan // nsh) * nsh
+        extra = s_pad - geometry.nscan
+        pad_scan = jnp.zeros((scan.shape[0], extra, 2), scan.dtype).at[
+            ..., 0].set(-1)
+        scan = jnp.concatenate([jnp.asarray(scan), pad_scan], axis=1)
+        pad_data = jnp.zeros(data.shape[:1] + (extra,) + data.shape[2:],
+                             data.dtype)
+        data = jnp.concatenate([jnp.asarray(data), pad_data], axis=1)
+        geometry = dataclasses.replace(geometry, nscan=s_pad)
     # Inside shard_map every device sees its local slice of the sharded
     # axes.
     g_local = dataclasses.replace(geometry, nscan=geometry.nscan // nsh)
