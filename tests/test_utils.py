@@ -7,6 +7,7 @@ import pytest
 
 from tikejax import Geometry
 from tikejax.models import make_problem
+from tikejax.solvers import run
 from tikejax.utils import checkpoint, cfull, cones, czeros, to_device, to_host
 
 
@@ -72,6 +73,33 @@ def test_checkpoint_resume_cg(rng, tmp_path):
     # must keep descending and land in the same ballpark.
     assert m_b["minf"][-1] < m_a["minf"][-1]
     assert m_b["minf"][-1] < 2.0 * m_c["minf"][-1] + 1e-3
+
+
+def test_checkpoint_resume_cg_exact(rng, tmp_path):
+    """With carry_state, a mid-CG checkpoint resumes the EXACT Dai-Yuan
+    trajectory (the plain resume restarts the direction and only lands
+    in the same ballpark -- test_checkpoint_resume_cg above)."""
+    g = Geometry(nz=64, n=64, nscan=36, ndet=32, nprb=20)
+    psi_true, scan, prb, data = make_problem(rng, g, dtype=jnp.complex64)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+
+    psi_a, prb_a, m_a = run(data, psi0, scan, prb, g, piter=8,
+                            carry_state=True)
+    d, gr, gam, gam0 = m_a["cg_state"]
+    path = str(tmp_path / "ck_exact.npz")
+    checkpoint.save(path, {"psi": psi_a, "prb": prb_a,
+                           "cg": {"d": d, "g": gr, "gamma": gam,
+                                  "gamma0": gam0}})
+    st = checkpoint.load(path, device=True)
+    cg_init = (st["cg"]["d"], st["cg"]["g"], st["cg"]["gamma"],
+               st["cg"]["gamma0"])
+    _, _, m_b = run(data, st["psi"], scan, st["prb"], g, piter=8,
+                    cg_init=cg_init)
+    _, _, m_c = run(data, psi0, scan, prb, g, piter=16)
+    chained = np.concatenate([np.asarray(m_a["minf"]),
+                              np.asarray(m_b["minf"])])
+    np.testing.assert_allclose(chained, np.asarray(m_c["minf"]),
+                               rtol=1e-6)
 
 
 def test_compat_solver(rng):
