@@ -1,0 +1,62 @@
+"""Deep-tail A/B on the real TPU: time-to-target for split-operator
+reconstruct variants (VERDICT r2 next #4 -- attack the 1e-6 tail).
+
+Each variant is timed over a FULL reconstruct from flat start (warm-up
+run first so compile is excluded), reporting wall time, total
+iterations, and stage count.
+
+Usage: python benchmarks/tail_ab.py [target] [variant ...]
+Variants: carry512 (default on), nocarry512 (round-2 baseline),
+carry256, carry384, nocarry256.
+"""
+
+import sys
+import time
+
+import jax
+
+from tikejax import Geometry
+from tikejax.models import make_problem
+from tikejax.solvers import reconstruct
+from tikejax.utils import cones, device_sync as sync, \
+    sync_overhead_seconds, to_host
+
+VARIANTS = {
+    "carry512": dict(segment=512, segment_carry=True),
+    "nocarry512": dict(segment=512, segment_carry=False),
+    "carry256": dict(segment=256, segment_carry=True),
+    "carry384": dict(segment=384, segment_carry=True),
+    "nocarry256": dict(segment=256, segment_carry=False),
+}
+
+
+def main():
+    target = float(sys.argv[1]) if len(sys.argv) > 1 else 1e-6
+    names = sys.argv[2:] or ["nocarry512", "carry512"]
+    g = Geometry(nz=512, n=512, nscan=16384, ndet=128, nprb=128)
+    _, scan, prb, data = make_problem(jax.random.PRNGKey(0), g)
+    sync(data)
+    psi0 = cones(g.psi_shape)
+    overhead = sync_overhead_seconds()
+
+    for name in names:
+        kw = VARIANTS[name]
+        # Warm-up (compile); then the timed official run.
+        reconstruct(data, psi0, scan, prb, g, target_residual=target,
+                    **kw)
+        t0 = time.time()
+        psi, _, stages = reconstruct(data, psi0, scan, prb, g,
+                                     target_residual=target, **kw)
+        sync(psi)
+        dt = time.time() - t0 - overhead
+        iters = sum(int(to_host(m["iters_run"])) for _, m in stages)
+        import numpy as np
+        last = stages[-1][1]
+        k = max(int(to_host(last["iters_run"])) - 1, 0)
+        res = float(np.asarray(to_host(last["residual"]))[k])
+        print(f"{name:>11s}: {dt:6.1f}s  {iters:5d} iters  "
+              f"{len(stages):2d} stages  residual {res:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
