@@ -214,14 +214,21 @@ def main():
     # reconstruct (warm-up run excludes compile from the steady number).
     from tikejax.solvers import reconstruct
     _, _, _ = reconstruct(data, psi0, scan, prb, g, target_residual=1e-6)
-    t0 = time.time()
-    psi_deep, _, stages = reconstruct(data, psi0, scan, prb, g,
-                                      target_residual=1e-6)
-    sync(psi_deep)
-    t_to_1e6 = round(time.time() - t0 - sync_overhead, 1)
-    deep_iters = sum(int(to_host(m["iters_run"])) for _, m in stages)
-    log(f"split reconstruct: 1e-6 residual in {t_to_1e6}s "
-        f"({deep_iters} iters, {len(stages)} stages)")
+    deep_times, deep_iters_list = [], []
+    for _ in range(3):
+        t0 = time.time()
+        psi_deep, _, stages = reconstruct(data, psi0, scan, prb, g,
+                                          target_residual=1e-6)
+        sync(psi_deep)
+        deep_times.append(round(time.time() - t0 - sync_overhead, 1))
+        deep_iters_list.append(sum(int(to_host(m["iters_run"]))
+                                   for _, m in stages))
+        log(f"split reconstruct: 1e-6 residual in {deep_times[-1]}s "
+            f"({deep_iters_list[-1]} iters, {len(stages)} stages)")
+    # Median-of-3: single deep runs sample a bimodal ~+-30% transport
+    # noise (BASELINE.md round-3 note); the iteration count is stable.
+    k = int(np.argsort(deep_times)[1])
+    t_to_1e6, deep_iters = deep_times[k], deep_iters_list[k]
 
     result = {
         "metric": "cg_iters_per_sec_512obj_16kpos",
@@ -252,6 +259,7 @@ def main():
         "fused_mp_iters_per_sec": round(mp_ran / dt_mp, 2),
         "time_to_1e-6_residual_s": t_to_1e6,
         "time_to_1e-6_iters": deep_iters,
+        "time_to_1e-6_runs_s": deep_times,
         "baseline_note": "V100 estimate, no published numbers "
                          "(BASELINE.md)",
     }

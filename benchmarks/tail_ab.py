@@ -26,6 +26,8 @@ VARIANTS = {
     "nocarry512": dict(segment=512, segment_carry=False),
     "carry256": dict(segment=256, segment_carry=True),
     "carry384": dict(segment=384, segment_carry=True),
+    "carry192": dict(segment=192, segment_carry=True),
+    "carry128": dict(segment=128, segment_carry=True),
     "nocarry256": dict(segment=256, segment_carry=False),
 }
 

@@ -51,7 +51,7 @@ _fwd_jit = jax.jit(diffraction.fwd_raw, static_argnums=(3, 4))
 def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                 target_residual: float = 1e-6,
                 tiers=DEFAULT_TIERS, method: str = "split",
-                segment: int = 512, max_segments: int = 24,
+                segment: int = 256, max_segments: int = 48,
                 base_kernel: str | None = None,
                 fast_kernel: str | None = None,
                 segment_carry: bool = True,
@@ -75,8 +75,14 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         split-segment re-bases (the terminal direction/gradient/step
         state seeds the next segment via cg.run's ``cg_init``) instead
         of restarting each segment from steepest descent. The re-base
-        keeps psi_total unchanged, so the carried state is taken at the
-        same iterate -- CG momentum survives the re-freeze.
+        keeps psi_total unchanged, but it DOES shift the effective
+        objective by the fast tier's operator error at the old delta,
+        so the carry is only consistent when segments are short enough
+        that ||delta|| stays small: measured on the headline config,
+        carry at segment=256 wins (29.9 s vs 31.5 s to 1e-6) while
+        carry at segment=512 is catastrophic (102 s -- BASELINE.md).
+        The defaults pair carry with the short segment; segments that
+        end early (stall/target) always restart fresh.
       options / kw: base CGOptions (piter/kernel/target_residual are
         overridden per stage; everything else -- model, nchunks, memory,
         linesearch -- applies where compatible). Measured note: the
@@ -162,32 +168,65 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # are unimplemented or pathologically slow on some TPU transports
     # (tikejax.utils.hostio).
     add = jax.jit(jnp.add)
-    state = None
+
+    state = _zero_state(psi) if segment_carry else None
+
+    prev = None
     for _ in range(max_segments):
         f_base = _fwd_jit(psi, scan, prb, g.ndet, base)
         delta0 = hostio.czeros(g.psi_shape, psi.dtype)
         delta, _, m = _cg.run(data, delta0, scan, prb, g, opts2,
                               f_base=f_base, cg_init=state)
         psi = add(psi, delta)
-        if segment_carry:
-            # The re-base leaves psi_total unchanged, so the terminal
-            # (direction, gradient, step) state is taken at the same
-            # iterate: the next segment's first Dai-Yuan step continues
-            # the SAME CG trajectory instead of restarting from
-            # steepest descent (momentum loss at every re-base was the
-            # measured cost of shorter segments -- BASELINE.md
-            # segment-sweep entry).
-            state = m["cg_state"]
         stages.append((f"split:{fast}", m))
-        ran = int(hostio.to_host(m["iters_run"]))
-        if ran < segment:
-            # On-device early exit: either the target was reached or the
-            # line search stalled at this segment's floor (stop_on_stall)
-            # -- only the former terminates; a stalled segment gets a
-            # fresh base (re-freezing is exactly the remedy for a stall:
-            # the correction restarts from zero against a more accurate
-            # farplane).
-            res = float(hostio.to_host(m["residual"])[max(ran - 1, 0)])
-            if res <= target:
-                break
+        if segment_carry:
+            state = _masked_state(m["cg_state"], m["iters_run"], segment)
+        # Pipelined termination test: read back the PREVIOUS segment's
+        # scalars while the segment just dispatched runs (the ~0.4 s
+        # per-readback sync on tunneled transports would otherwise
+        # serialize against every segment). A segment dispatched after
+        # the target was already reached exits on device after one
+        # iteration (the early-exit while-loop sees the target met), so
+        # the one-deep speculation wastes only a base re-freeze.
+        if prev is not None and _segment_reached(prev, segment, target):
+            break
+        prev = m
     return psi, prb, stages
+
+
+# Device-side carry guard: an all-zeros state is EXACTLY what run_impl
+# builds for cg_init=None (fresh steepest-descent start), so masking the
+# carried tuple with the budget test keeps the carry decision on device
+# (no per-segment readback) and compiles ONE solver variant for all
+# segments. Segments that end early (stall or target) restart fresh: a
+# stalled direction is one the line search already rejected, and the
+# measured-harmful long-segment carry (BASELINE.md: 102 s vs 31.5 s at
+# segment=512) never arises at the short default.
+@jax.jit
+def _masked_state(cg_state, iters_run, segment):
+    keep = iters_run >= segment
+    return jax.tree_util.tree_map(
+        lambda x: jnp.where(keep, x, jnp.zeros_like(x)), cg_state)
+
+
+@jax.jit
+def _zero_state(psi):
+    zc = jnp.zeros_like(psi)
+    zr = jnp.zeros((), jnp.real(psi).dtype)
+    return (zc, zc, zr, zr)
+
+
+def _segment_reached(m, segment, target):
+    """Did this (completed) split segment end at the target residual?
+
+    Early exit (iters_run < budget) means target reached OR line-search
+    stall at the segment's floor (stop_on_stall); only the former
+    terminates -- a stalled segment gets a fresh base, which is exactly
+    the remedy for a stall (the correction restarts from zero against a
+    more accurate farplane).
+    """
+    ran = int(hostio.to_host(m["iters_run"]))
+    if ran >= segment:
+        return False
+    res = float(hostio.to_host(m["residual"])[max(ran - 1, 0)])
+    return res <= target
