@@ -126,6 +126,26 @@ def test_reconstruct_split_method(problem):
                     method="bogus")
 
 
+def test_floor_stop_prevents_budget_burn():
+    """An unreachable target (below the data/operator floor) must stop
+    after floor_patience flat segments instead of burning max_segments
+    (a 3e-7 target on TPU measured 48 segments / 13k iterations moving
+    3.3e-7 -> 3.14e-7 before the floor stop existed). Shot noise gives
+    the gaussian objective a hard positive floor on CPU."""
+    _, scan, prb, data = make_problem(jax.random.PRNGKey(11), GEOM,
+                                      dtype=jnp.complex64,
+                                      poisson_photons=1e4)
+    psi0 = jnp.ones(GEOM.psi_shape, jnp.complex64)
+    kw = dict(target_residual=1e-12, segment=32, max_segments=16,
+              tiers=(("xla", 5e-3, 96),))
+    _, _, st_burn = reconstruct(data, psi0, scan, prb, GEOM,
+                                floor_patience=0, **kw)
+    assert len(st_burn) == 17  # fast tier + the full segment budget
+    _, _, st_stop = reconstruct(data, psi0, scan, prb, GEOM,
+                                floor_patience=2, **kw)
+    assert len(st_stop) < len(st_burn)
+
+
 def test_auto_kernel_resolves_by_target(monkeypatch):
     monkeypatch.setattr(diffraction.jax, "default_backend", lambda: "tpu")
     # No target: the measured-dominant full-trajectory tier (VERDICT r2

@@ -55,6 +55,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                 base_kernel: str | None = None,
                 fast_kernel: str | None = None,
                 segment_carry: bool = True,
+                floor_patience: int = 3,
                 options: _cg.CGOptions | None = None, **kw):
     """Reconstruct to a target relative residual.
 
@@ -83,6 +84,13 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         carry at segment=512 is catastrophic (102 s -- BASELINE.md).
         The defaults pair carry with the short segment; segments that
         end early (stall/target) always restart fresh.
+      floor_patience: stop after this many CONSECUTIVE refinement
+        segments that each contracted the residual by less than 0.5%
+        (the solver is pinned at the base kernel's operator floor or
+        the data's noise floor; an unreachable target would otherwise
+        burn the whole max_segments budget). The threshold is
+        deliberately below the legitimate deep grind's ~3%/segment
+        (BASELINE.md round-3 3e-7 A/B). 0 disables the floor stop.
       options / kw: base CGOptions (piter/kernel/target_residual are
         overridden per stage; everything else -- model, nchunks, memory,
         linesearch -- applies where compatible). Measured note: the
@@ -110,7 +118,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         return _reconstruct_split(data, psi0, scan, prb0, geometry,
                                   target_residual, segment, max_segments,
                                   base_kernel, fast_kernel, options, tiers,
-                                  segment_carry)
+                                  segment_carry, floor_patience)
 
     psi, prb = psi0, prb0
     stages = []
@@ -138,7 +146,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
 
 def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                        max_segments, base_kernel, fast_kernel, options,
-                       tiers, segment_carry=True):
+                       tiers, segment_carry=True, floor_patience=3):
     """Fast tier to its floor, then split-operator refinement segments."""
     if options.recover_prb:
         raise ValueError("method='split' is object-only; run joint "
@@ -172,6 +180,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     state = _zero_state(psi) if segment_carry else None
 
     prev = None
+    flat = 0
     for _ in range(max_segments):
         f_base = _fwd_jit(psi, scan, prb, g.ndet, base)
         delta0 = hostio.czeros(g.psi_shape, psi.dtype)
@@ -188,20 +197,42 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
         # the target was already reached exits on device after one
         # iteration (the early-exit while-loop sees the target met), so
         # the one-deep speculation wastes only a base re-freeze.
-        if prev is not None and _segment_reached(prev, segment, target):
-            break
+        if prev is not None:
+            reached, contraction = _segment_status(prev, segment, target)
+            if reached:
+                break
+            if contraction > _FLOOR_CONTRACTION:
+                flat += 1
+                # Operator floor: successive segments are not
+                # descending; the target is below what the base
+                # kernel's accuracy supports -- stop burning budget.
+                if floor_patience > 0 and flat >= floor_patience:
+                    break
+            else:
+                flat = 0
         prev = m
     return psi, prb, stages
 
 
+# Per-segment residual contraction at or above which a segment counts
+# as FLAT for the floor stop. Deliberately tight: the legitimate deep
+# grind runs at ~3%/segment (the 3e-7 A/B descended 1e-6 -> 3.2e-7
+# over 41 segments, carry ON and helping: 393.5 s vs 546.5 s without
+# carry), so only truly floor-pinned segments (<0.5% progress) count.
+_FLOOR_CONTRACTION = 0.995
+
+
 # Device-side carry guard: an all-zeros state is EXACTLY what run_impl
 # builds for cg_init=None (fresh steepest-descent start), so masking the
-# carried tuple with the budget test keeps the carry decision on device
-# (no per-segment readback) and compiles ONE solver variant for all
-# segments. Segments that end early (stall or target) restart fresh: a
-# stalled direction is one the line search already rejected, and the
-# measured-harmful long-segment carry (BASELINE.md: 102 s vs 31.5 s at
-# segment=512) never arises at the short default.
+# carried tuple keeps the carry decision on device (no per-segment
+# readback) and compiles ONE solver variant for all segments. Segments
+# that end early (stall or target) restart fresh -- a stalled direction
+# is one the line search already rejected. Budget-exhausted segments
+# always carry: measured at BOTH regimes (1e-6: 29.9 s vs 31.5 s;
+# 3e-7 grind: 393.5 s vs 546.5 s), carry wins for short segments even
+# when per-segment progress is a few percent, so no progress-based
+# masking is applied (a 5% threshold was tried and would have disabled
+# carry exactly where it was winning).
 @jax.jit
 def _masked_state(cg_state, iters_run, segment):
     keep = iters_run >= segment
@@ -216,17 +247,19 @@ def _zero_state(psi):
     return (zc, zc, zr, zr)
 
 
-def _segment_reached(m, segment, target):
-    """Did this (completed) split segment end at the target residual?
+def _segment_status(m, segment, target):
+    """(reached, contraction) for a completed split segment.
 
     Early exit (iters_run < budget) means target reached OR line-search
-    stall at the segment's floor (stop_on_stall); only the former
-    terminates -- a stalled segment gets a fresh base, which is exactly
+    stall at the segment's floor (stop_on_stall); only the former sets
+    ``reached`` -- a stalled segment gets a fresh base, which is exactly
     the remedy for a stall (the correction restarts from zero against a
-    more accurate farplane).
+    more accurate farplane). ``contraction`` is res_end/res_start, the
+    floor-stop statistic.
     """
     ran = int(hostio.to_host(m["iters_run"]))
-    if ran >= segment:
-        return False
-    res = float(hostio.to_host(m["residual"])[max(ran - 1, 0)])
-    return res <= target
+    res = hostio.to_host(m["residual"])
+    res_end = float(res[max(ran - 1, 0)])
+    reached = ran < segment and res_end <= target
+    contraction = res_end / max(float(res[0]), 1e-300)
+    return reached, contraction
