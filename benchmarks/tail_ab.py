@@ -29,6 +29,17 @@ VARIANTS = {
     "carry192": dict(segment=192, segment_carry=True),
     "carry128": dict(segment=128, segment_carry=True),
     "nocarry256": dict(segment=256, segment_carry=False),
+    # low-frequency-boosting SPD Fourier preconditioner variants
+    # (CGOptions.precondition='illum_lowk'); b<boost>f<frac*100>
+    "lowk256": dict(segment=256, precondition="illum_lowk"),
+    "lowk256b8": dict(segment=256, precondition="illum_lowk",
+                      lowk_boost=8.0),
+    "lowk256b2": dict(segment=256, precondition="illum_lowk",
+                      lowk_boost=2.0),
+    "lowk256f10": dict(segment=256, precondition="illum_lowk",
+                       lowk_frac=0.10),
+    "lowk256f3": dict(segment=256, precondition="illum_lowk",
+                      lowk_frac=0.03),
 }
 
 

@@ -306,12 +306,19 @@ def test_stop_on_stall(rng):
 
 def test_precondition_options(rng):
     psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
-    for pre in ["illum", "max", "none"]:
+    for pre in ["illum", "illum_lowk", "max", "none"]:
         _, _, m = run(data, psi0, scan, prb, GEOM_SMALL, piter=6,
                       precondition=pre)
         assert m["minf"][-1] < m["minf"][0]
     with pytest.raises(ValueError, match="precondition"):
         run(data, psi0, scan, prb, GEOM_SMALL, piter=2, precondition="bogus")
+    # illum_lowk is object-only (opt-in for sparse-overlap scans)
+    with pytest.raises(ValueError, match="object-only"):
+        run(data, psi0, scan, prb, GEOM_SMALL, piter=2,
+            precondition="illum_lowk", recover_prb=True)
+    with pytest.raises(ValueError, match="lowk_frac"):
+        run(data, psi0, scan, prb, GEOM_SMALL, piter=2,
+            precondition="illum_lowk", lowk_frac=0.9)
 
 
 def test_residual_metric(rng):

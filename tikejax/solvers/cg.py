@@ -109,8 +109,19 @@ class CGOptions:
     # probe-illumination map (and the probe gradient by the object power
     # map) -- pixelwise, the classic ptychography preconditioner, usually
     # much better conditioned than the reference's scalar 1/max|prb|^2
-    # ('max'); 'none' disables.
+    # ('max'); 'illum_lowk' composes 'illum' with an SPD Fourier filter
+    # 1 + lowk_boost*k0^2/(k0^2 + |k|^2) that amplifies smooth gradient
+    # components (object-only runs, single device); 'none' disables.
+    # 'illum_lowk' is OPT-IN only: it accelerated a sparse-overlap toy
+    # (5x lower residual at 48 iters, 64 positions on 96^2) but measured
+    # ~4x SLOWER on the dense-overlap headline config (112.7 s / 3008
+    # iters vs 29.7 s / 1761 to 1e-6 -- BASELINE.md round 3); on dense
+    # scans the illumination map already equalizes the spectrum.
     precondition: str = "illum"
+    # 'illum_lowk' filter parameters: boost amplitude and the crossover
+    # frequency k0 as a fraction of Nyquist.
+    lowk_boost: float = 4.0
+    lowk_frac: float = 0.05
     # Warm-start the backtracking from the previous accepted step
     # (False: always start from step0). The growth policy is
     # step_policy below.
@@ -334,9 +345,23 @@ class _Engine:
                 f"nchunks ({o.nchunks}) must divide nscan ({g.nscan})")
         if o.model not in likelihoods.MODELS:
             raise ValueError(f"unknown model {o.model!r}")
-        if o.precondition not in ("illum", "max", "none"):
+        if o.precondition not in ("illum", "illum_lowk", "max", "none"):
             raise ValueError(f"unknown precondition {o.precondition!r}; "
-                             "expected 'illum', 'max', or 'none'")
+                             "expected 'illum', 'illum_lowk', 'max', or "
+                             "'none'")
+        if o.precondition == "illum_lowk":
+            if o.recover_prb:
+                raise ValueError("precondition='illum_lowk' is "
+                                 "object-only (the low-k filter has no "
+                                 "probe analogue); run joint recovery "
+                                 "with 'illum' first")
+            if o.obj_axis_name is not None:
+                raise ValueError("precondition='illum_lowk' needs the "
+                                 "full object spectrum; it does not "
+                                 "compose with object-domain tiling")
+            if o.lowk_boost < 0 or not (0 < o.lowk_frac <= 0.5):
+                raise ValueError("lowk_boost must be >= 0 and lowk_frac "
+                                 "in (0, 0.5]")
         if o.memory not in ("auto", "materialized", "frameless"):
             raise ValueError(f"unknown memory policy {o.memory!r}")
         if o.linesearch not in ("auto", "interp", "backtracking",
@@ -831,6 +856,19 @@ def _precondition(gpsi, prb):
     return gpsi * scale[:, None, None]
 
 
+def _lowk_symbol(nz, n, boost, frac):
+    """Real positive Fourier symbol 1 + boost*k0^2/(k0^2 + |k|^2) with
+    k0 = frac * Nyquist; self-adjoint and positive-definite as a real-
+    linear operator, so it is a valid CG preconditioner factor.
+    (Zeroing the DC boost -- the gauge direction -- was measured WORSE,
+    250.6 s vs 112.7 s on the headline deep run; see BASELINE.md.)"""
+    fy = jnp.fft.fftfreq(nz)[:, None]
+    fx = jnp.fft.fftfreq(n)[None, :]
+    k2 = fy ** 2 + fx ** 2
+    k02 = (0.5 * frac) ** 2
+    return 1.0 + boost * k02 / (k02 + k2)
+
+
 def _illum_denominator(prb, scan_int, nz, n, o: CGOptions):
     """Denominator of the pixelwise object preconditioner: the probe-
     illumination map sum_k T_k(sum_m |prb_m|^2), regularised at 10% of
@@ -916,7 +954,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         "gamma_prb": jnp.zeros((o.piter,), real_dtype),
     }
 
-    if o.precondition == "illum" and not o.recover_prb:
+    if o.precondition in ("illum", "illum_lowk") and not o.recover_prb:
         # Object-only runs: the probe never changes, so the
         # illumination map (an FFT convolution + a 16k-element delta
         # scatter -- several ms on TPU) is loop-INVARIANT. Precompute
@@ -924,9 +962,26 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         # not hoist it out of the fori/while loop body on its own.
         _illum_denom = _illum_denominator(prb0, scan_i, geometry.nz,
                                           geometry.n, o)
+        if o.precondition == "illum_lowk":
+            # SPD low-frequency boost: multiply the gradient spectrum by
+            # the real positive symbol 1 + boost*k0^2/(k0^2 + |k|^2)
+            # (self-adjoint under the real inner product, so CG theory
+            # still applies). Two 2-D FFTs of the object per
+            # preconditioner application -- negligible next to the
+            # per-frame kernel work. Motivation: the round-3 spectral
+            # diagnostic (docs/design.md) found 84% of the early deep-
+            # tail error below ~1/16 Nyquist.
+            _lowk = _lowk_symbol(geometry.nz, geometry.n, o.lowk_boost,
+                                 o.lowk_frac)
 
-        def precond_psi(gpsi, prb):
-            return gpsi / _illum_denom.astype(gpsi.dtype)
+            def precond_psi(gpsi, prb):
+                gpsi = gpsi / _illum_denom.astype(gpsi.dtype)
+                spec = jnp.fft.fft2(gpsi)
+                return jnp.fft.ifft2(spec * _lowk.astype(gpsi.dtype))
+        else:
+
+            def precond_psi(gpsi, prb):
+                return gpsi / _illum_denom.astype(gpsi.dtype)
     else:
         def precond_psi(gpsi, prb):
             if o.precondition == "illum":
