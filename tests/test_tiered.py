@@ -126,6 +126,28 @@ def test_reconstruct_split_method(problem):
                     method="bogus")
 
 
+def test_reconstruct_joint_then_split(problem):
+    """recover_prb=True in split mode runs stage 1 jointly (probe
+    actually moves), then freezes the recovered probe for the split
+    refinement and still reaches the target."""
+    psi_true, scan, prb, data, psi0 = problem
+    prb0 = prb * 1.05  # perturbed probe: joint stage must fix it
+    psi, prb_out, stages = reconstruct(
+        data, psi0, scan, prb0, GEOM, target_residual=1e-3, segment=64,
+        max_segments=12, tiers=(("xla", 5e-3, 96),), recover_prb=True)
+    assert stages[0][0] == "xla:joint"
+    # deep target (1e-3 < tier floor 5e-3): the joint recovery escalates
+    # to the base tier before the probe is frozen
+    assert stages[1][0] == "xla:joint"
+    assert all(n == "split:xla" for n, _ in stages[2:])
+    assert len(stages) > 2
+    # the probe moved in the joint stage
+    assert float(jnp.max(jnp.abs(prb_out - prb0))) > 1e-6
+    last = stages[-1][1]
+    k = int(last["iters_run"])
+    assert np.asarray(last["residual"])[max(k - 1, 0)] <= 1e-3
+
+
 def test_floor_stop_prevents_budget_burn():
     """An unreachable target (below the data/operator floor) must stop
     after floor_patience flat segments instead of burning max_segments

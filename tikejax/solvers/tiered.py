@@ -97,7 +97,14 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         'parabolic' line search HURTS deep-tail convergence (8.6e-5 vs
         1.7e-5 at 512 fused_hp iterations -- the vertex fit chases
         objective noise once f(gamma) flattens); keep the default.
-        Split mode is object-only (recover_prb must be False).
+        With recover_prb=True, split mode runs stage 1 as JOINT
+        object+probe CG (escalating to the base tier for deep targets),
+        then freezes the recovered probe for the split refinement. If
+        the object-only refinement floor-stalls above the target, the
+        probe is re-opened with another joint base-tier segment and the
+        refinement resumes (alternating minimization on demand, up to 4
+        refreshes); a refresh that itself makes no progress marks the
+        genuine floor.
 
     Returns:
       (psi, prb, stages): stages is a list of (stage_name, metrics);
@@ -148,9 +155,6 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                        max_segments, base_kernel, fast_kernel, options,
                        tiers, segment_carry=True, floor_patience=3):
     """Fast tier to its floor, then split-operator refinement segments."""
-    if options.recover_prb:
-        raise ValueError("method='split' is object-only; run joint "
-                         "recovery first, then refine the object")
     on_tpu = jax.default_backend() == "tpu"
     fast = fast_kernel or ("fused" if on_tpu else "xla")
     base = base_kernel or ("fused_hp" if on_tpu else "xla")
@@ -158,11 +162,30 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     stages = []
 
     # Stage 1: plain CG on the fast tier down to its reliable floor.
+    # With recover_prb, this stage recovers the probe JOINTLY; the probe
+    # is then frozen for the split refinement (the refinement's accuracy
+    # gain targets the object -- the probe converges at the fast tier's
+    # accuracy long before the object's deep tail; SURVEY SS2/C5 joint
+    # recovery composed with the deep-residual driver).
     opts1 = dataclasses.replace(options, kernel=fast,
                                 piter=tiers[0][2] if tiers else 256,
                                 target_residual=max(target, floor))
     psi, prb, m = _cg.run(data, psi0, scan, prb, g, opts1)
-    stages.append((fast, m))
+    stages.append((fast + (":joint" if options.recover_prb else ""), m))
+    recover = options.recover_prb
+    joint_opts = dataclasses.replace(options, kernel=base, piter=512,
+                                     target_residual=target)
+    if recover:
+        if target < floor:
+            # Deep target: the frozen probe's error would floor the
+            # object refinement at roughly the fast tier's accuracy
+            # (measured in tests: a 5%-perturbed probe frozen at the
+            # fast floor stalls the split phase ~4e-3). Escalate the
+            # JOINT recovery to the accurate tier before freezing; 512
+            # is the transport's single-dispatch iteration cap.
+            psi, prb, m = _cg.run(data, psi, scan, prb, g, joint_opts)
+            stages.append((base + ":joint", m))
+        options = dataclasses.replace(options, recover_prb=False)
     if target >= floor:
         return psi, prb, stages
 
@@ -181,7 +204,16 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
 
     prev = None
     flat = 0
-    for _ in range(max_segments):
+    budget = max_segments
+    # With recover_prb, a floor stall in the object-only refinement may
+    # mean the FROZEN PROBE's error is the floor, not the base kernel's
+    # accuracy: alternate back to a joint base-tier segment to re-open
+    # the probe, then resume the split refinement (classic alternating
+    # minimization, but only triggered on demand). A refresh that itself
+    # makes no progress identifies the genuine floor.
+    refreshes = 4 if recover else 0
+    while budget > 0:
+        budget -= 1
         f_base = _fwd_jit(psi, scan, prb, g.ndet, base)
         delta0 = hostio.czeros(g.psi_shape, psi.dtype)
         delta, _, m = _cg.run(data, delta0, scan, prb, g, opts2,
@@ -207,6 +239,20 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                 # descending; the target is below what the base
                 # kernel's accuracy supports -- stop burning budget.
                 if floor_patience > 0 and flat >= floor_patience:
+                    if refreshes > 0 and budget > 0:
+                        refreshes -= 1
+                        budget -= 1
+                        psi, prb, mr = _cg.run(data, psi, scan, prb, g,
+                                               joint_opts)
+                        stages.append((base + ":joint", mr))
+                        r_reached, r_contr = _segment_status(mr, 512, target)
+                        if r_reached:
+                            return psi, prb, stages
+                        if r_contr > _FLOOR_CONTRACTION:
+                            break  # probe refresh flat too: genuine floor
+                        flat, prev = 0, None
+                        state = _zero_state(psi) if segment_carry else None
+                        continue
                     break
             else:
                 flat = 0
