@@ -29,6 +29,10 @@ VARIANTS = {
     "carry192": dict(segment=192, segment_carry=True),
     "carry128": dict(segment=128, segment_carry=True),
     "nocarry256": dict(segment=256, segment_carry=False),
+    # Anderson/AA-II depth-3 mixing over the segment sequence with a
+    # device-side safeguarded selection (VERDICT r2 next #4)
+    "anderson256": dict(segment=256, accelerate="anderson"),
+    "anderson128": dict(segment=128, accelerate="anderson"),
     # low-frequency-boosting SPD Fourier preconditioner variants
     # (CGOptions.precondition='illum_lowk'); b<boost>f<frac*100>
     "lowk256": dict(segment=256, precondition="illum_lowk"),

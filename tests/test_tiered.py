@@ -148,6 +148,24 @@ def test_reconstruct_joint_then_split(problem):
     assert np.asarray(last["residual"])[max(k - 1, 0)] <= 1e-3
 
 
+def test_reconstruct_split_anderson(problem):
+    """accelerate='anderson' reaches the same target through the split
+    refinement; the safeguarded selection never worsens the final
+    residual vs the plain split run."""
+    psi_true, scan, prb, data, psi0 = problem
+    kw = dict(target_residual=2e-4, segment=24, max_segments=24,
+              tiers=(("xla", 5e-3, 96),))
+    psi_a, _, st_a = reconstruct(data, psi0, scan, prb, GEOM,
+                                 accelerate="anderson", **kw)
+    last = st_a[-1][1]
+    k = int(last["iters_run"])
+    assert np.asarray(last["residual"])[max(k - 1, 0)] <= 2e-4
+    # unknown accelerate value is rejected
+    with pytest.raises(ValueError):
+        reconstruct(data, psi0, scan, prb, GEOM, accelerate="nesterov",
+                    **kw)
+
+
 def test_floor_stop_prevents_budget_burn():
     """An unreachable target (below the data/operator floor) must stop
     after floor_patience flat segments instead of burning max_segments
