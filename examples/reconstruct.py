@@ -4,6 +4,9 @@ Usage:
   python examples/reconstruct.py [--size 256] [--nscan 1024] [--piter 64]
       [--model gaussian|poisson] [--recover-prb] [--nmodes 1]
       [--checkpoint out.npz]
+  python examples/reconstruct.py --target 1e-6   # deep-residual driver
+      (solvers.reconstruct: kernel tiering + split-operator refinement
+      + Anderson mixing; --piter is ignored in this mode)
 
 Equivalent of the reference's README usage example / rec_test script
 (SURVEY.md SS4 item 2), on TPU.
@@ -17,7 +20,7 @@ import jax.numpy as jnp
 
 from tikejax import Geometry
 from tikejax.models import make_problem
-from tikejax.solvers import run
+from tikejax.solvers import reconstruct, run
 from tikejax.utils import (checkpoint, cones, device_sync, scalar,
                            to_host)
 
@@ -36,6 +39,9 @@ def main():
     ap.add_argument("--nchunks", type=int, default=1)
     ap.add_argument("--photons", type=float, default=None,
                     help="add Poisson shot noise at this photon budget")
+    ap.add_argument("--target", type=float, default=None,
+                    help="reconstruct to this relative residual via the "
+                         "deep-residual driver instead of a fixed piter")
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
 
@@ -48,22 +54,40 @@ def main():
     device_sync(data)
 
     t0 = time.time()
-    psi, prb_out, metrics = run(
-        data, cones(g.psi_shape), scan, prb, g, piter=args.piter,
-        model=args.model, recover_prb=args.recover_prb, nchunks=args.nchunks)
-    device_sync(psi)  # block_until_ready is not a barrier on all transports
-    dt = time.time() - t0
+    if args.target is not None:
+        psi, prb_out, stages = reconstruct(
+            data, cones(g.psi_shape), scan, prb, g,
+            target_residual=args.target, model=args.model,
+            recover_prb=args.recover_prb, nchunks=args.nchunks)
+        device_sync(psi)
+        dt = time.time() - t0
+        ran = 0
+        for name, m in stages:
+            k = max(int(to_host(m["iters_run"])), 1)
+            res = float(to_host(m["residual"])[k - 1])
+            print(f"  stage {name:>14s}: {k:4d} iters, residual {res:.3e}")
+            ran += k
+            metrics = m
+        print(f"{ran} iters / {len(stages)} stages in {dt:.2f}s "
+              f"(incl. compile)")
+    else:
+        psi, prb_out, metrics = run(
+            data, cones(g.psi_shape), scan, prb, g, piter=args.piter,
+            model=args.model, recover_prb=args.recover_prb,
+            nchunks=args.nchunks)
+        device_sync(psi)  # block_until_ready is not a barrier everywhere
+        dt = time.time() - t0
 
-    # stop_on_stall / target_residual may exit early: truncate the
-    # metric arrays at the executed iteration count.
-    ran = max(int(to_host(metrics["iters_run"])), 1)
-    minf = to_host(metrics["minf"])[:ran]
-    gamma = to_host(metrics["gamma"])[:ran]
-    print(f"{ran} iters in {dt:.2f}s "
-          f"({ran / dt:.1f} iters/s incl. compile)")
-    for i in range(0, ran, max(1, ran // 8)):
-        print(f"  iter {i:4d}: minf={minf[i]:.6e} gamma={gamma[i]:.3f}")
-    print(f"  final   : minf={minf[-1]:.6e}")
+        # stop_on_stall / target_residual may exit early: truncate the
+        # metric arrays at the executed iteration count.
+        ran = max(int(to_host(metrics["iters_run"])), 1)
+        minf = to_host(metrics["minf"])[:ran]
+        gamma = to_host(metrics["gamma"])[:ran]
+        print(f"{ran} iters in {dt:.2f}s "
+              f"({ran / dt:.1f} iters/s incl. compile)")
+        for i in range(0, ran, max(1, ran // 8)):
+            print(f"  iter {i:4d}: minf={minf[i]:.6e} gamma={gamma[i]:.3f}")
+        print(f"  final   : minf={minf[-1]:.6e}")
 
     # phase-aligned relative error against ground truth (interior)
     m = g.n // 8

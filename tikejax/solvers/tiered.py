@@ -232,9 +232,12 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # minimization, but only triggered on demand). A refresh that itself
     # makes no progress identifies the genuine floor.
     refreshes = 4 if recover else 0
+    f_next = None  # chosen farplane handed forward by the Anderson step
     while budget > 0:
         budget -= 1
-        f_base = _fwd_jit(psi, scan, prb, g.ndet, base)
+        f_base = (f_next if f_next is not None
+                  else _fwd_jit(psi, scan, prb, g.ndet, base))
+        f_next = None
         delta0 = hostio.czeros(g.psi_shape, psi.dtype)
         delta, _, m = _cg.run(data, delta0, scan, prb, g, opts2,
                               f_base=f_base, cg_init=state)
@@ -249,7 +252,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
             aa_hist.append((psi, delta))
             del aa_hist[:-_AA_DEPTH]
             if len(aa_hist) >= 2:
-                psi, took = _anderson_step(
+                psi, took, f_next = _anderson_step(
                     [p for p, _ in aa_hist], [d for _, d in aa_hist],
                     data, scan, prb, g.ndet, base)
                 if segment_carry:
@@ -286,6 +289,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                             break  # probe refresh flat too: genuine floor
                         flat, prev = 0, None
                         aa_hist = []  # joint segment changed the map
+                        f_next = None  # pending base used the old probe
                         state = _zero_state(psi) if segment_carry else None
                         continue
                     break
@@ -343,9 +347,10 @@ def _anderson_step(psis, deltas, data, scan, prb, ndet, kernel):
     constrained least squares min ‖Σ α_j r_j‖, Σ α_j = 1 on the real
     Gram matrix (Tikhonov-regularized), forms x_mix = Σ α_j G(x_j),
     then evaluates BOTH candidates' gaussian amplitude residuals with
-    the accurate ``kernel`` and returns the better one plus the
-    took-mix flag — all on device (the caller's control flow never
-    reads it back). The gaussian-scale residual is used as the
+    the accurate ``kernel`` and returns (chosen iterate, took-mix
+    flag, chosen farplane) — all on device (the caller's control flow
+    never reads any of it back; the farplane is reused as the next
+    segment's base re-freeze). The gaussian-scale residual is used as the
     safeguard statistic for any likelihood model (it is a selection
     heuristic, not the objective).
     """
@@ -362,11 +367,17 @@ def _anderson_step(psis, deltas, data, scan, prb, ndet, kernel):
 
     def res(p):
         f = diffraction.fwd_raw(p, scan, prb, ndet, kernel)
-        return jnp.sqrt(jnp.maximum(
+        return f, jnp.sqrt(jnp.maximum(
             likelihoods.gaussian_minf(f, data), 0.0) / sum_d)
 
-    take = res(psi_mix) < res(psi_plain)
-    return jnp.where(take, psi_mix, psi_plain), take
+    f_mix, r_mix = res(psi_mix)
+    f_plain, r_plain = res(psi_plain)
+    take = r_mix < r_plain
+    # The chosen candidate's farplane IS the next segment's base
+    # re-freeze (same kernel, same psi) — returning it saves one
+    # accurate-tier forward per mixed segment.
+    return (jnp.where(take, psi_mix, psi_plain), take,
+            jnp.where(take, f_mix, f_plain))
 
 
 @jax.jit
