@@ -166,6 +166,42 @@ def test_reconstruct_split_anderson(problem):
                     **kw)
 
 
+def test_reconstruct_split_poisson(problem):
+    """Split refinement (with the Anderson default) composes with the
+    Poisson likelihood: the base-offset delta CG descends the KL-excess
+    residual to the target."""
+    psi_true, scan, prb, data, psi0 = problem
+    psi, _, st = reconstruct(data, psi0, scan, prb, GEOM,
+                             target_residual=5e-4, segment=32,
+                             max_segments=24, tiers=(("xla", 5e-3, 96),),
+                             model="poisson")
+    last = st[-1][1]
+    k = max(int(last["iters_run"]), 1)
+    assert np.asarray(last["residual"])[k - 1] <= 5e-4
+    assert any(n.startswith("split:") for n, _ in st)
+
+
+def test_recover_prb_floor_refresh():
+    """When the object-only refinement floor-stalls (noise floor above
+    the target), split-mode recover_prb re-opens the probe with a joint
+    segment; a refresh that is itself flat marks the genuine floor and
+    the run stops well before the segment budget."""
+    _, scan, prb, data = make_problem(jax.random.PRNGKey(11), GEOM,
+                                      dtype=jnp.complex64,
+                                      poisson_photons=1e4)
+    psi0 = jnp.ones(GEOM.psi_shape, jnp.complex64)
+    _, _, st = reconstruct(data, psi0, scan, prb * 1.05, GEOM,
+                           target_residual=1e-12, segment=32,
+                           max_segments=16, floor_patience=2,
+                           tiers=(("xla", 5e-3, 96),), recover_prb=True)
+    names = [n for n, _ in st]
+    first_split = names.index("split:xla")
+    # a joint refresh appears AFTER split segments started
+    assert any(n.endswith(":joint") for n in names[first_split:])
+    # flat refresh => genuine floor: stop, don't burn the budget
+    assert len(st) <= 8
+
+
 def test_floor_stop_prevents_budget_burn():
     """An unreachable target (below the data/operator floor) must stop
     after floor_patience flat segments instead of burning max_segments
