@@ -33,6 +33,9 @@ VARIANTS = {
     # device-side safeguarded selection (VERDICT r2 next #4)
     "anderson256": dict(segment=256, accelerate="anderson"),
     "anderson128": dict(segment=128, accelerate="anderson"),
+    "anderson256d2": dict(segment=256, accelerate="anderson:2"),
+    "anderson256d4": dict(segment=256, accelerate="anderson:4"),
+    "anderson256d5": dict(segment=256, accelerate="anderson:5"),
     # low-frequency-boosting SPD Fourier preconditioner variants
     # (CGOptions.precondition='illum_lowk'); b<boost>f<frac*100>
     "lowk256": dict(segment=256, precondition="illum_lowk"),

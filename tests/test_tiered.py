@@ -135,12 +135,18 @@ def test_reconstruct_joint_then_split(problem):
     psi, prb_out, stages = reconstruct(
         data, psi0, scan, prb0, GEOM, target_residual=1e-3, segment=64,
         max_segments=12, tiers=(("xla", 5e-3, 96),), recover_prb=True)
-    assert stages[0][0] == "xla:joint"
+    names = [n for n, _ in stages]
+    assert names[0] == "xla:joint"
     # deep target (1e-3 < tier floor 5e-3): the joint recovery escalates
-    # to the base tier before the probe is frozen
-    assert stages[1][0] == "xla:joint"
-    assert all(n == "split:xla" for n, _ in stages[2:])
-    assert len(stages) > 2
+    # to the base tier (a CHAIN of short dispatches — one long joint
+    # device program crashed the tunneled TPU worker) before the probe
+    # is frozen
+    k = 1
+    while k < len(names) and names[k] == "xla:joint":
+        k += 1
+    assert k >= 2  # the escalation chain ran
+    assert all(n == "split:xla" for n in names[k:])
+    assert len(names) > k
     # the probe moved in the joint stage
     assert float(jnp.max(jnp.abs(prb_out - prb0))) > 1e-6
     last = stages[-1][1]
@@ -198,8 +204,9 @@ def test_recover_prb_floor_refresh():
     first_split = names.index("split:xla")
     # a joint refresh appears AFTER split segments started
     assert any(n.endswith(":joint") for n in names[first_split:])
-    # flat refresh => genuine floor: stop, don't burn the budget
-    assert len(st) <= 8
+    # flat refresh => genuine floor: stop, don't burn the 16-segment
+    # budget (joint escalation + refresh are 4-dispatch chains each)
+    assert len(st) <= 13
 
 
 def test_floor_stop_prevents_budget_burn():

@@ -87,8 +87,9 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         carry at segment=512 is catastrophic (102 s -- BASELINE.md).
         The defaults pair carry with the short segment; segments that
         end early (stall/target) always restart fresh.
-      accelerate: 'anderson' (default) or None — Anderson/AA-II mixing
-        over the split-segment iterate sequence (depth 3): after each
+      accelerate: 'anderson' (default), 'anderson:<depth>' (history
+        depth 2..8), or None — Anderson/AA-II mixing over the
+        split-segment iterate sequence (default depth 3): after each
         segment, solve the constrained least-squares problem on the
         Gram matrix of the last segment corrections and form the mixed
         iterate; a device-side safeguard evaluates BOTH candidates'
@@ -137,8 +138,10 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                          "runs use tikejax.solvers.run")
     if method not in ("split", "tiers"):
         raise ValueError(f"unknown method {method!r}")
-    if accelerate not in (None, "anderson"):
-        raise ValueError(f"unknown accelerate {accelerate!r}")
+    if accelerate is not None:
+        if _parse_anderson_depth(accelerate) is None:
+            raise ValueError(f"unknown accelerate {accelerate!r}; use "
+                             "None, 'anderson', or 'anderson:<depth>'")
     if method == "split":
         return _reconstruct_split(data, psi0, scan, prb0, geometry,
                                   target_residual, segment, max_segments,
@@ -192,7 +195,15 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     psi, prb, m = _cg.run(data, psi0, scan, prb, g, opts1)
     stages.append((fast + (":joint" if options.recover_prb else ""), m))
     recover = options.recover_prb
-    joint_opts = dataclasses.replace(options, kernel=base, piter=512,
+    # Joint escalation/refresh segments run 512 accurate-tier joint
+    # iterations as FOUR chained 128-iteration dispatches: a joint
+    # iteration costs ~3x an object-only one, and a single 512-joint-
+    # iteration device program exceeded the tunneled transport's
+    # execution deadline at the headline scale (TPU worker crash,
+    # round 3 — same failure class as the documented 2048-iter object
+    # dispatch). The chain is dispatched back-to-back asynchronously;
+    # early-exited tails cost one iteration each.
+    joint_opts = dataclasses.replace(options, kernel=base, piter=128,
                                      target_residual=target)
     if recover:
         if target < floor:
@@ -200,10 +211,9 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
             # object refinement at roughly the fast tier's accuracy
             # (measured in tests: a 5%-perturbed probe frozen at the
             # fast floor stalls the split phase ~4e-3). Escalate the
-            # JOINT recovery to the accurate tier before freezing; 512
-            # is the transport's single-dispatch iteration cap.
-            psi, prb, m = _cg.run(data, psi, scan, prb, g, joint_opts)
-            stages.append((base + ":joint", m))
+            # JOINT recovery to the accurate tier before freezing.
+            psi, prb, _ = _joint_chain(data, psi, scan, prb, g,
+                                       joint_opts, stages, base)
         options = dataclasses.replace(options, recover_prb=False)
     if target >= floor:
         return psi, prb, stages
@@ -232,6 +242,8 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # minimization, but only triggered on demand). A refresh that itself
     # makes no progress identifies the genuine floor.
     refreshes = 4 if recover else 0
+    aa_depth = (_parse_anderson_depth(accelerate) if accelerate is not None
+                else 0)
     f_next = None  # chosen farplane handed forward by the Anderson step
     while budget > 0:
         budget -= 1
@@ -245,12 +257,12 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
         stages.append((f"split:{fast}", m))
         if segment_carry:
             state = _masked_state(m["cg_state"], m["iters_run"], segment)
-        if accelerate == "anderson":
+        if aa_depth:
             # History stores RAW map evaluations (segment outputs and
             # their corrections) — a taken mix is a combination of
             # them, not a new evaluation, so it never enters history.
             aa_hist.append((psi, delta))
-            del aa_hist[:-_AA_DEPTH]
+            del aa_hist[:-aa_depth]
             if len(aa_hist) >= 2:
                 psi, took, f_next = _anderson_step(
                     [p for p, _ in aa_hist], [d for _, d in aa_hist],
@@ -279,10 +291,9 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                     if refreshes > 0 and budget > 0:
                         refreshes -= 1
                         budget -= 1
-                        psi, prb, mr = _cg.run(data, psi, scan, prb, g,
-                                               joint_opts)
-                        stages.append((base + ":joint", mr))
-                        r_reached, r_contr = _segment_status(mr, 512, target)
+                        psi, prb, (r_reached, r_contr) = _joint_chain(
+                            data, psi, scan, prb, g, joint_opts, stages,
+                            base, target=target)
                         if r_reached:
                             return psi, prb, stages
                         if r_contr > _FLOOR_CONTRACTION:
@@ -332,10 +343,25 @@ def _zero_state(psi):
     return (zc, zc, zr, zr)
 
 
-# Anderson (AA-II) mixing depth over the split-segment iterate sequence.
-# 3 is the classic small-memory choice; the history is a python list of
-# device arrays (a few MB at 512²), so depth is cheap to change.
+# Anderson (AA-II) default mixing depth over the split-segment iterate
+# sequence. 3 is the classic small-memory choice; the history is a
+# python list of device arrays (a few MB at 512²), so depth is cheap to
+# change per-call via accelerate='anderson:<depth>'.
 _AA_DEPTH = 3
+
+
+def _parse_anderson_depth(accelerate: str):
+    """Depth for 'anderson'/'anderson:<d>' (2..8), else None."""
+    if accelerate == "anderson":
+        return _AA_DEPTH
+    if isinstance(accelerate, str) and accelerate.startswith("anderson:"):
+        try:
+            d = int(accelerate.split(":", 1)[1])
+        except ValueError:
+            return None
+        if 2 <= d <= 8:
+            return d
+    return None
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
@@ -384,6 +410,27 @@ def _anderson_step(psis, deltas, data, scan, prb, ndet, kernel):
 def _masked_state_flag(cg_state, took_mix):
     return jax.tree_util.tree_map(
         lambda x: jnp.where(took_mix, jnp.zeros_like(x), x), cg_state)
+
+
+def _joint_chain(data, psi, scan, prb, g, joint_opts, stages, base,
+                 target=None, n=4):
+    """Run n chained joint dispatches (async, no host round-trips
+    between them), appending each as a ':joint' stage. With ``target``,
+    returns (reached, contraction-across-the-chain) as the third
+    element (two scalar readbacks); else None."""
+    ms = []
+    for _ in range(n):
+        psi, prb, m = _cg.run(data, psi, scan, prb, g, joint_opts)
+        stages.append((base + ":joint", m))
+        ms.append(m)
+    if target is None:
+        return psi, prb, None
+    kl = int(hostio.to_host(ms[-1]["iters_run"]))
+    rl = hostio.to_host(ms[-1]["residual"])
+    res_end = float(rl[max(kl - 1, 0)])
+    reached = kl < joint_opts.piter and res_end <= target
+    r0 = float(hostio.to_host(ms[0]["residual"])[0])
+    return psi, prb, (reached, res_end / max(r0, 1e-300))
 
 
 def _segment_status(m, segment, target):
