@@ -33,6 +33,7 @@ VARIANTS = {
     # device-side safeguarded selection (VERDICT r2 next #4)
     "anderson256": dict(segment=256, accelerate="anderson"),
     "anderson128": dict(segment=128, accelerate="anderson"),
+    "anderson192": dict(segment=192, accelerate="anderson"),
     "anderson256d2": dict(segment=256, accelerate="anderson:2"),
     "anderson256d4": dict(segment=256, accelerate="anderson:4"),
     "anderson256d5": dict(segment=256, accelerate="anderson:5"),
