@@ -209,6 +209,36 @@ def test_recover_prb_floor_refresh():
     assert len(st) <= 13
 
 
+def test_aitken_probe_floor_detection():
+    """The Aitken Δ² early probe-floor detector fires exactly when the
+    per-segment residuals geometrically asymptote ABOVE the target and
+    stays quiet on healthy (target-reaching) or non-geometric decay."""
+    from tikejax.solvers.tiered import _aitken_limit, \
+        _probe_floor_predicted
+
+    def geo(limit, c0=1e-5, rho=0.45, n=6):
+        return [limit + c0 * rho ** k for k in range(n)]
+
+    # exact geometric sequence: the limit is recovered to rounding
+    lim = _aitken_limit(*geo(1.4e-6)[:3])
+    assert lim is not None and abs(lim - 1.4e-6) < 1e-9
+    # guards: non-monotone, accelerating (rho >= 0.95), increasing
+    assert _aitken_limit(3.0, 1.0, 2.0) is None
+    assert _aitken_limit(3.0, 2.0, 1.04) is None  # rho ~ 0.96
+    assert _aitken_limit(1.0, 2.0, 3.0) is None
+
+    # asymptoting at 1.4x the target: both extrapolations agree -> fire
+    assert _probe_floor_predicted(geo(1.4e-6), target=1e-6)
+    # healthy run heading BELOW the target: never fire
+    assert not _probe_floor_predicted(geo(0.5e-6), target=1e-6)
+    # limit above target but inside the 1.2x margin: too close to call
+    assert not _probe_floor_predicted(geo(1.1e-6), target=1e-6)
+    # too little history
+    assert not _probe_floor_predicted(geo(1.4e-6, n=3), target=1e-6)
+    # a plateau (flat counter territory) is not a geometric decay
+    assert not _probe_floor_predicted([2e-6] * 5, target=1e-6)
+
+
 def test_floor_stop_prevents_budget_burn():
     """An unreachable target (below the data/operator floor) must stop
     after floor_patience flat segments instead of burning max_segments

@@ -117,11 +117,15 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         With recover_prb=True, split mode runs stage 1 as JOINT
         object+probe CG (escalating to the base tier for deep targets),
         then freezes the recovered probe for the split refinement. If
-        the object-only refinement floor-stalls above the target, the
-        probe is re-opened with another joint base-tier segment and the
-        refinement resumes (alternating minimization on demand, up to 4
-        refreshes); a refresh that itself makes no progress marks the
-        genuine floor.
+        the object-only refinement floor-stalls above the target --
+        detected either by the flat counter or EARLY, by two
+        consecutive Aitken extrapolations of the per-segment residuals
+        both predicting a limit above 1.2x target (the approach to a
+        frozen-probe floor is near-geometric, measured ratio ~0.45) --
+        the probe is re-opened with a chain of joint base-tier
+        dispatches and the refinement resumes (alternating
+        minimization on demand, up to 4 refreshes); a refresh that
+        itself makes no progress marks the genuine floor.
 
     Returns:
       (psi, prb, stages): stages is a list of (stage_name, metrics);
@@ -234,6 +238,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     prev = None
     flat = 0
     aa_hist = []  # Anderson history of (segment output, correction)
+    res_hist = []  # per-segment end residuals (Aitken floor detection)
     budget = max_segments
     # With recover_prb, a floor stall in the object-only refinement may
     # mean the FROZEN PROBE's error is the floor, not the base kernel's
@@ -279,33 +284,47 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
         # iteration (the early-exit while-loop sees the target met), so
         # the one-deep speculation wastes only a base re-freeze.
         if prev is not None:
-            reached, contraction = _segment_status(prev, segment, target)
+            reached, contraction, res_end = _segment_status(prev, segment,
+                                                            target)
             if reached:
                 break
+            res_hist.append(res_end)
+            can_refresh = refreshes > 0 and budget > 0
+            want_refresh = False
             if contraction > _FLOOR_CONTRACTION:
                 flat += 1
                 # Operator floor: successive segments are not
                 # descending; the target is below what the base
                 # kernel's accuracy supports -- stop burning budget.
                 if floor_patience > 0 and flat >= floor_patience:
-                    if refreshes > 0 and budget > 0:
-                        refreshes -= 1
-                        budget -= 1
-                        psi, prb, (r_reached, r_contr) = _joint_chain(
-                            data, psi, scan, prb, g, joint_opts, stages,
-                            base, target=target)
-                        if r_reached:
-                            return psi, prb, stages
-                        if r_contr > _FLOOR_CONTRACTION:
-                            break  # probe refresh flat too: genuine floor
-                        flat, prev = 0, None
-                        aa_hist = []  # joint segment changed the map
-                        f_next = None  # pending base used the old probe
-                        state = _zero_state(psi) if segment_carry else None
-                        continue
-                    break
+                    if not can_refresh:
+                        break
+                    want_refresh = True
             else:
                 flat = 0
+            if (not want_refresh and can_refresh
+                    and _probe_floor_predicted(res_hist, target)):
+                # Early probe-floor detection: re-open the probe now
+                # instead of grinding to the flat threshold (measured
+                # round 3 at headline scale: fires 5 plateau segments
+                # earlier, 125.4 vs 166.2 s, -30% iterations).
+                want_refresh = True
+            if want_refresh:
+                refreshes -= 1
+                budget -= 1
+                psi, prb, (r_reached, r_contr) = _joint_chain(
+                    data, psi, scan, prb, g, joint_opts, stages,
+                    base, target=target)
+                if r_reached:
+                    return psi, prb, stages
+                if r_contr > _FLOOR_CONTRACTION:
+                    break  # probe refresh flat too: genuine floor
+                flat, prev = 0, None
+                res_hist = []
+                aa_hist = []  # joint segment changed the map
+                f_next = None  # pending base used the old probe
+                state = _zero_state(psi) if segment_carry else None
+                continue
         prev = m
     return psi, prb, stages
 
@@ -434,7 +453,7 @@ def _joint_chain(data, psi, scan, prb, g, joint_opts, stages, base,
 
 
 def _segment_status(m, segment, target):
-    """(reached, contraction) for a completed split segment.
+    """(reached, contraction, res_end) for a completed split segment.
 
     Early exit (iters_run < budget) means target reached OR line-search
     stall at the segment's floor (stop_on_stall); only the former sets
@@ -448,4 +467,38 @@ def _segment_status(m, segment, target):
     res_end = float(res[max(ran - 1, 0)])
     reached = ran < segment and res_end <= target
     contraction = res_end / max(float(res[0]), 1e-300)
-    return reached, contraction
+    return reached, contraction, res_end
+
+
+def _aitken_limit(r0, r1, r2):
+    """Aitken Δ² estimate of the limit of a near-geometric residual
+    sequence, or None when the last three points aren't a decelerating
+    monotone decay (ratio outside (0, 0.95))."""
+    d1, d2 = r1 - r0, r2 - r1
+    if d1 >= 0 or d2 >= 0:
+        return None
+    rho = d2 / d1
+    if not (0.0 < rho < 0.95):
+        return None
+    return r2 - d2 * d2 / (d2 - d1)
+
+
+def _probe_floor_predicted(res_hist, target):
+    """Early probe-floor detection on the per-segment end residuals.
+
+    The object-only split phase approaches a FROZEN PROBE's error floor
+    as a near-geometric sequence (measured round 3 at headline scale:
+    per-segment ratio ~0.45), and the flat counter then waits several
+    more near-flat segments before firing the probe refresh. Aitken-
+    extrapolate the last two residual triples instead: when BOTH predict
+    a limit clearly above the target, the refinement is asymptoting at
+    probe error, not heading to the target. Double confirmation plus
+    the 1.2x margin keep healthy runs (whose limit is below target)
+    from misfiring; non-recover runs never consult this (refreshes=0).
+    """
+    if len(res_hist) < 4:
+        return False
+    lim1 = _aitken_limit(*res_hist[-4:-1])
+    lim2 = _aitken_limit(*res_hist[-3:])
+    return (lim1 is not None and lim2 is not None
+            and lim1 > 1.2 * target and lim2 > 1.2 * target)
