@@ -209,6 +209,35 @@ def test_recover_prb_floor_refresh():
     assert len(st) <= 13
 
 
+def test_reconstruct_split_multimode():
+    """The split refinement and its joint probe-recovery stages compose
+    with a multi-mode probe (the frozen base farplane and the joint
+    escalation both carry the mode axis)."""
+    g = Geometry(nz=96, n=96, nscan=64, ndet=32, nprb=24, nmodes=2)
+    psi_true, scan, prb, data = make_problem(jax.random.PRNGKey(7), g,
+                                             dtype=jnp.complex64)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+    kw = dict(segment=32, max_segments=24, tiers=(("xla", 5e-3, 96),))
+    _, _, st = reconstruct(data, psi0, scan, prb, g,
+                           target_residual=5e-4, **kw)
+    assert any(n.startswith("split:") for n, _ in st)
+    last = st[-1][1]
+    k = max(int(last["iters_run"]), 1)
+    assert np.asarray(last["residual"])[k - 1] <= 5e-4
+    # joint recovery of a perturbed 2-mode probe, then split refinement
+    prb0 = prb * 1.05
+    _, prb_out, st2 = reconstruct(data, psi0, scan, prb0, g,
+                                  target_residual=1e-3,
+                                  recover_prb=True, **kw)
+    names = [n for n, _ in st2]
+    assert names[0].endswith(":joint")
+    assert any(n.startswith("split:") for n in names)
+    assert float(jnp.max(jnp.abs(prb_out - prb0))) > 1e-6
+    last = st2[-1][1]
+    k = max(int(last["iters_run"]), 1)
+    assert np.asarray(last["residual"])[k - 1] <= 1e-3
+
+
 def test_aitken_probe_floor_detection():
     """The Aitken Δ² early probe-floor detector fires exactly when the
     per-segment residuals geometrically asymptote ABOVE the target and
