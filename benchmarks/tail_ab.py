@@ -37,6 +37,15 @@ VARIANTS = {
     "anderson256d2": dict(segment=256, accelerate="anderson:2"),
     "anderson256d4": dict(segment=256, accelerate="anderson:4"),
     "anderson256d5": dict(segment=256, accelerate="anderson:5"),
+    # L-BFGS refinement-segment direction (CGOptions.direction; the
+    # early stage always stays Dai-Yuan -- see tiered.py basin note)
+    "lbfgs256": dict(segment=256, direction="lbfgs"),
+    "lbfgs256m5": dict(segment=256, direction="lbfgs:5"),
+    "lbfgs256m12": dict(segment=256, direction="lbfgs:12"),
+    "lbfgs512": dict(segment=512, direction="lbfgs"),
+    "lbfgs128": dict(segment=128, direction="lbfgs"),
+    "lbfgs256noaa": dict(segment=256, direction="lbfgs",
+                         accelerate=None),
     # low-frequency-boosting SPD Fourier preconditioner variants
     # (CGOptions.precondition='illum_lowk'); b<boost>f<frac*100>
     "lowk256": dict(segment=256, precondition="illum_lowk"),

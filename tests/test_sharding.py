@@ -90,6 +90,23 @@ def test_sharded_fused_kernels(problem):
                                np.asarray(m_n["minf"]), rtol=1e-3)
 
 
+def test_sharded_lbfgs_matches_single(problem):
+    """The L-BFGS two-loop recursion is sharding-consistent: every
+    inner product psums over the mesh, so the sharded direction (and
+    hence the whole trajectory) matches the single-device run."""
+    g, psi_true, scan, prb, data, psi0 = problem
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=12,
+                        direction="lbfgs:4")
+    mesh = make_mesh(4)
+    data_s, scan_s = shard_problem(mesh, data, scan)
+    psi_n, _, m_n = run_sharded(data_s, psi0, scan_s, prb, g, mesh,
+                                piter=12, direction="lbfgs:4")
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_n["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_1 - psi_n))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_1)))
+
+
 @pytest.mark.parametrize("tshards,sshards", [(2, 4), (4, 2), (2, 1)])
 def test_theta_sharded_matches_single(tshards, sshards):
     """P2 angle-axis sharding (SURVEY.md SS5): a 2-D ('theta', 'scan')

@@ -166,6 +166,21 @@ class CGOptions:
     # actual count. 'auto' kernel selection honours the target (deep
     # targets escalate to the fused_mp/fused_hp accuracy tiers).
     target_residual: float = 0.0
+    # Search-direction rule for the OBJECT step: 'dy' is the
+    # reference's Dai-Yuan nonlinear CG ([R] libtike/cufft/ptycho.py,
+    # SURVEY.md SS2/C5); 'lbfgs' / 'lbfgs:<m>' is two-loop L-BFGS on
+    # the preconditioned gradient (ring of the last m (s, y) pairs,
+    # default m=8, curvature-guarded: pairs with <s,y> <= 1e-12
+    # ||s|| ||y|| are skipped, and a fully-failed line search clears
+    # the memory so the next step restarts from steepest descent).
+    # The natural step of the H0-scaled direction is 1, so the warm
+    # start uses gamma0=1 once history exists. CPU-oracle A/B (fp64,
+    # 96^2/128 positions, iterations to 1e-6): DY 200, lbfgs:3 176,
+    # lbfgs:5 156, lbfgs:8 150, lbfgs:12 149. The probe step always
+    # uses Dai-Yuan (the joint alternation re-bases the probe
+    # objective every iteration, which invalidates quasi-Newton
+    # curvature pairs).
+    direction: str = "dy"
     # Stop after this many CONSECUTIVE iterations whose line searches
     # fully failed (gamma = 0 for the object step and, under joint
     # recovery, the probe step too): the objective cannot be decreased
@@ -381,6 +396,16 @@ class _Engine:
             raise ValueError(f"unknown merged_linesearch "
                              f"{o.merged_linesearch!r}; expected 'auto' "
                              "or 'off'")
+        self.lbfgs_m = 0
+        if o.direction != "dy":
+            base, _, depth = o.direction.partition(":")
+            if base != "lbfgs" or (depth and not depth.isdigit()):
+                raise ValueError(f"unknown direction {o.direction!r}; "
+                                 "expected 'dy', 'lbfgs', or 'lbfgs:<m>'")
+            self.lbfgs_m = int(depth) if depth else 8
+            if not 1 <= self.lbfgs_m <= 32:
+                raise ValueError("lbfgs memory must be in [1, 32], got "
+                                 f"{self.lbfgs_m}")
         if o.step_policy not in ("auto", "track", "regrow"):
             raise ValueError(f"unknown step_policy {o.step_policy!r}; "
                              "expected 'auto', 'track', or 'regrow'")
@@ -845,6 +870,83 @@ class _Engine:
         beta = jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
         return -grad + beta.astype(grad.dtype) * d_prev
 
+    # -- L-BFGS direction (direction='lbfgs[:m]') --------------------------
+
+    def lbfgs_init(self, like, real_dtype):
+        """Empty L-BFGS state: (S, Y, sy, count) with S/Y rings of m
+        arrays shaped like ``like`` (oldest first, newest at index m-1)
+        and sy the matching curvature inner products."""
+        m = self.lbfgs_m
+        z = jnp.zeros((m,) + like.shape, like.dtype)
+        return (z, z, jnp.zeros((m,), real_dtype),
+                jnp.zeros((), jnp.int32))
+
+    def lbfgs_push(self, lb, s, y, accepted, kind="psi"):
+        """Append the (s, y) pair when the previous step was accepted
+        AND it passes the curvature guard <s,y> > 1e-12 ||s|| ||y||
+        (skipped pairs keep the ring unchanged -- standard damped-free
+        L-BFGS update-skip; the guard also rejects the zero pairs a
+        fresh start or a rejected step produces)."""
+        S, Y, SY, count = lb
+        sy = self._dot(s, y, kind)
+        ss = self._dot(s, s, kind)
+        yy = self._dot(y, y, kind)
+        ok = jnp.logical_and(accepted, sy > 1e-12 * jnp.sqrt(ss * yy))
+
+        def push(ring, v):
+            rolled = jnp.concatenate([ring[1:], v[None]], axis=0)
+            return jnp.where(ok, rolled, ring)
+
+        return (push(S, s), push(Y, y), push(SY, sy.astype(SY.dtype)),
+                jnp.where(ok, jnp.minimum(count + 1, self.lbfgs_m),
+                          count))
+
+    def lbfgs_direction(self, grad, lb, kind="psi"):
+        """Two-loop recursion on the (already preconditioned) gradient.
+        H0 = (<s,y>/<y,y>) I from the newest pair scales the direction
+        so the natural line-search step is 1. With count = 0 this
+        reduces exactly to steepest descent. All inner products are
+        global (psum-ed / halo-masked via _dot), so the direction is
+        consistent under position sharding and object tiling."""
+        S, Y, SY, count = lb
+        m = self.lbfgs_m
+        rdt = SY.dtype
+
+        def rho(i):
+            return jnp.where(SY[i] > 0,
+                             1.0 / jnp.maximum(SY[i], 1e-300), 0.0)
+
+        def bwd(j, carry):
+            q, al = carry
+            i = m - 1 - j
+            valid = i >= m - count
+            a = jnp.where(valid, rho(i) * self._dot(S[i], q, kind), 0.0)
+            q = q - a.astype(q.dtype) * Y[i]
+            return q, al.at[i].set(a.astype(rdt))
+
+        q, al = lax.fori_loop(0, m, bwd, (grad, jnp.zeros((m,), rdt)))
+        yy = self._dot(Y[m - 1], Y[m - 1], kind)
+        h0 = jnp.where(jnp.logical_and(count > 0, yy > 0),
+                       SY[m - 1] / jnp.maximum(yy, 1e-300), 1.0)
+        q = q * h0.astype(q.dtype)
+
+        def fwdl(i, q):
+            valid = i >= m - count
+            b = jnp.where(valid, rho(i) * self._dot(Y[i], q, kind), 0.0)
+            return q + (al[i] - b).astype(q.dtype) * S[i]
+
+        q = lax.fori_loop(0, m, fwdl, q)
+        return -q
+
+    @staticmethod
+    def lbfgs_reset_on_stall(lb, gamma):
+        """Clear the memory (count -> 0) after a fully-failed line
+        search so the next direction restarts from steepest descent
+        (the stale rings stay allocated but count masks them out)."""
+        S, Y, SY, count = lb
+        return (S, Y, SY,
+                jnp.where(gamma > 0, count, jnp.zeros_like(count)))
+
 
 def _precondition(gpsi, prb):
     """Scale the object gradient by 1 / max_pixel(sum_m |prb_m|^2) per angle
@@ -998,15 +1100,25 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
 
     def body(i, st):
         (psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, gam_prev,
-         gam0_prev, gam_p_prev, gam0_p_prev, metrics) = st
+         gam0_prev, gam_p_prev, gam0_p_prev, *lb_state, metrics) = st
 
         # ---- object step ----
         f0, gpsi_raw, _, fpsi = eng.grad_pass(psi, prb, scan, data,
                                               want_psi=True,
                                               want_prb=False)
         gpsi = precond_psi(gpsi_raw, prb)
-        d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
-        gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
+        if eng.lbfgs_m:
+            lb = eng.lbfgs_push(tuple(lb_state),
+                                gam_prev.astype(psi.dtype) * d_psi,
+                                gpsi - g_psi_prev, gam_prev > 0)
+            d_psi = eng.lbfgs_direction(gpsi, lb)
+            gamma0 = jnp.where(
+                lb[3] > 0, jnp.ones((), real_dtype),
+                eng._gamma0(real_dtype, gam_prev, gam0_prev))
+        else:
+            lb = ()
+            d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
+            gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
         if eng.use_fused_linesearch():
             fp = fpsi if fpsi is not None else eng._fwd_obj(psi, scan, prb)
             fd = eng._fwd(d_psi, scan, prb)
@@ -1050,6 +1162,9 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
             prb = prb + gamma_p.astype(prb.dtype) * d_prb
             g_prb_prev = gprb
 
+        if eng.lbfgs_m:
+            lb = eng.lbfgs_reset_on_stall(lb, gamma)
+
         residual = jnp.sqrt(
             jnp.maximum(f0 - minf_offset, 0.0) / sum_data).astype(real_dtype)
         metrics = {
@@ -1067,7 +1182,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                 return 0
             lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
         return (psi, prb, d_psi, g_psi_prev, d_prb, g_prb_prev, gamma,
-                gamma0, gamma_p, gamma0_p, metrics)
+                gamma0, gamma_p, gamma0_p, *lb, metrics)
 
     def body_merged(i, st):
         """Merged-mode iteration: every line-search candidate is
@@ -1077,9 +1192,19 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         per iteration at the steady-state ~1 eval/iter). Same candidate
         sequence and simple-decrease policy as the classic search."""
         (psi, prb, d_prev, g_prev, g_cur, g_raw, f_cur, gam_prev,
-         gam0_prev, metrics) = st
-        d = eng.dy_direction(g_cur, g_prev, d_prev)
-        gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
+         gam0_prev, *lb_state, metrics) = st
+        if eng.lbfgs_m:
+            lb = eng.lbfgs_push(tuple(lb_state),
+                                gam_prev.astype(psi.dtype) * d_prev,
+                                g_cur - g_prev, gam_prev > 0)
+            d = eng.lbfgs_direction(g_cur, lb)
+            gamma0 = jnp.where(
+                lb[3] > 0, jnp.ones((), real_dtype),
+                eng._gamma0(real_dtype, gam_prev, gam0_prev))
+        else:
+            lb = ()
+            d = eng.dy_direction(g_cur, g_prev, d_prev)
+            gamma0 = eng._gamma0(real_dtype, gam_prev, gam0_prev)
 
         def eval_cand(gamma):
             cand = psi + gamma.astype(psi.dtype) * d
@@ -1115,6 +1240,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         gamma, fc, gc, _ = lax.while_loop(cond, lbody, st_ls)
         ok = fc <= f_cur
         gamma = jnp.where(ok, gamma, jnp.zeros_like(gamma))
+        if eng.lbfgs_m:
+            lb = eng.lbfgs_reset_on_stall(lb, gamma)
         psi = psi + gamma.astype(psi.dtype) * d
         gc_pc = precond_psi(gc, prb)
         g_next = jnp.where(ok, gc_pc, g_cur)
@@ -1140,7 +1267,7 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                 return 0
             lax.cond(i % o.verbose_every == 0, _print, lambda _: 0, 0)
         return (psi, prb, d, g_cur, g_next, g_next_raw, f_next, gamma,
-                gamma0, metrics)
+                gamma0, *lb, metrics)
 
     zscal = jnp.zeros((), real_dtype)
     if cg_init is not None:
@@ -1150,18 +1277,25 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
     else:
         d_in, g_in = jnp.zeros_like(psi0), jnp.zeros_like(psi0)
         gam_in, gam0_in = zscal, zscal
+    # L-BFGS ring buffers ride at the tail of the carry (just before
+    # metrics) in both layouts, so the cg_state slot indices and the
+    # st[-1] metrics access stay put. The ring is NOT carried across
+    # split segments (cg_init seeds one cross-segment curvature pair
+    # implicitly: the first push uses the carried (d, gamma, g)).
+    lb0 = eng.lbfgs_init(psi0, real_dtype) if eng.lbfgs_m else ()
     if eng.merged:
         f_init, g_init, _, _ = eng.grad_pass(psi0, prb0, scan, data,
                                              want_psi=True,
                                              want_prb=False)
         st0 = (psi0, prb0, d_in, g_in,
                precond_psi(g_init, prb0), g_init,
-               f_init.astype(real_dtype), gam_in, gam0_in, metrics0)
+               f_init.astype(real_dtype), gam_in, gam0_in, *lb0,
+               metrics0)
         body_fn = body_merged
     else:
         st0 = (psi0, prb0, d_in, g_in,
                jnp.zeros_like(prb0), jnp.zeros_like(prb0),
-               gam_in, gam0_in, zscal, zscal, metrics0)
+               gam_in, gam0_in, zscal, zscal, *lb0, metrics0)
         body_fn = body
     if o.target_residual > 0 or o.stop_on_stall > 0:
         # Early-exit loop: stop once the previous iteration's relative

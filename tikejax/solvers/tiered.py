@@ -154,7 +154,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
 
     psi, prb = psi0, prb0
     stages = []
-    for kernel, floor, max_piter in tiers:
+    for tier_i, (kernel, floor, max_piter) in enumerate(tiers):
         tier_target = max(target_residual, floor)
         # Cap single dispatches at 512 iterations: one longer device
         # program risks tripping the transport's execution deadline
@@ -166,7 +166,10 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
             seg = min(remaining, 512)
             tier_opts = dataclasses.replace(
                 options, kernel=kernel, piter=seg,
-                target_residual=tier_target)
+                target_residual=tier_target,
+                # First tier from the flat start stays Dai-Yuan (see
+                # the basin note in _reconstruct_split).
+                direction="dy" if tier_i == 0 else options.direction)
             psi, prb, metrics = _cg.run(data, psi, scan, prb, geometry,
                                         tier_opts)
             stages.append((kernel, metrics))
@@ -193,7 +196,17 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # gain targets the object -- the probe converges at the fast tier's
     # accuracy long before the object's deep tail; SURVEY SS2/C5 joint
     # recovery composed with the deep-residual driver).
-    opts1 = dataclasses.replace(options, kernel=fast,
+    # The EARLY stage always runs Dai-Yuan regardless of the requested
+    # direction: L-BFGS's aggressive early steps (unit-scaled
+    # quasi-Newton from a flat start) measurably steer the iterate into
+    # bad local basins of the nonconvex phase-retrieval objective --
+    # measured on CPU (96^2/64 positions): an L-BFGS-warmed start
+    # stalls EVERY later optimizer (dy or lbfgs, direct or split) at
+    # 3.09e-4 where the DY-warmed start reaches <1e-4. CG's smaller
+    # early steps act as the globalization phase; the user's direction
+    # choice applies to the refinement segments, where the basin is
+    # settled and L-BFGS's curvature memory shines.
+    opts1 = dataclasses.replace(options, kernel=fast, direction="dy",
                                 piter=tiers[0][2] if tiers else 256,
                                 target_residual=max(target, floor))
     psi, prb, m = _cg.run(data, psi0, scan, prb, g, opts1)
@@ -208,7 +221,8 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # dispatch). The chain is dispatched back-to-back asynchronously;
     # early-exited tails cost one iteration each.
     joint_opts = dataclasses.replace(options, kernel=base, piter=128,
-                                     target_residual=target)
+                                     target_residual=target,
+                                     direction="dy")
     if recover:
         if target < floor:
             # Deep target: the frozen probe's error would floor the
