@@ -110,7 +110,13 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         (BASELINE.md round-3 3e-7 A/B). 0 disables the floor stop.
       options / kw: base CGOptions (piter/kernel/target_residual are
         overridden per stage; everything else -- model, nchunks, memory,
-        linesearch -- applies where compatible). Measured note: the
+        linesearch, direction -- applies where compatible). NOTE on
+        ``direction='lbfgs[:m]'``: it applies to the refinement
+        segments only -- the early (and joint) stages are always forced
+        to Dai-Yuan, because an L-BFGS-warmed flat start measurably
+        lands in bad local basins of the nonconvex objective (every
+        later optimizer then stalls at 3.09e-4 on the CPU A/B where
+        DY-warmed runs reach <1e-4; BASELINE.md round 3). Measured note: the
         'parabolic' line search HURTS deep-tail convergence (8.6e-5 vs
         1.7e-5 at 512 fused_hp iterations -- the vertex fit chases
         objective noise once f(gamma) flattens); keep the default.
