@@ -22,21 +22,32 @@ from tikejax.utils import cones, device_sync as sync, \
     sync_overhead_seconds, to_host
 
 VARIANTS = {
-    "carry512": dict(segment=512, segment_carry=True),
-    "nocarry512": dict(segment=512, segment_carry=False),
-    "carry256": dict(segment=256, segment_carry=True),
-    "carry384": dict(segment=384, segment_carry=True),
-    "carry192": dict(segment=192, segment_carry=True),
-    "carry128": dict(segment=128, segment_carry=True),
-    "nocarry256": dict(segment=256, segment_carry=False),
+    # Shipped defaults (direction='auto' -> L-BFGS refinement since
+    # round 3; the dy/carry/anderson variants pin direction='dy' so
+    # they keep measuring the round-3 Dai-Yuan baselines they were
+    # recorded as in BASELINE.md).
+    "default256": dict(segment=256),
+    "carry512": dict(segment=512, segment_carry=True, direction="dy"),
+    "nocarry512": dict(segment=512, segment_carry=False, direction="dy"),
+    "carry256": dict(segment=256, segment_carry=True, direction="dy"),
+    "carry384": dict(segment=384, segment_carry=True, direction="dy"),
+    "carry192": dict(segment=192, segment_carry=True, direction="dy"),
+    "carry128": dict(segment=128, segment_carry=True, direction="dy"),
+    "nocarry256": dict(segment=256, segment_carry=False, direction="dy"),
     # Anderson/AA-II depth-3 mixing over the segment sequence with a
     # device-side safeguarded selection (VERDICT r2 next #4)
-    "anderson256": dict(segment=256, accelerate="anderson"),
-    "anderson128": dict(segment=128, accelerate="anderson"),
-    "anderson192": dict(segment=192, accelerate="anderson"),
-    "anderson256d2": dict(segment=256, accelerate="anderson:2"),
-    "anderson256d4": dict(segment=256, accelerate="anderson:4"),
-    "anderson256d5": dict(segment=256, accelerate="anderson:5"),
+    "anderson256": dict(segment=256, accelerate="anderson",
+                        direction="dy"),
+    "anderson128": dict(segment=128, accelerate="anderson",
+                        direction="dy"),
+    "anderson192": dict(segment=192, accelerate="anderson",
+                        direction="dy"),
+    "anderson256d2": dict(segment=256, accelerate="anderson:2",
+                          direction="dy"),
+    "anderson256d4": dict(segment=256, accelerate="anderson:4",
+                          direction="dy"),
+    "anderson256d5": dict(segment=256, accelerate="anderson:5",
+                          direction="dy"),
     # L-BFGS refinement-segment direction (CGOptions.direction; the
     # early stage always stays Dai-Yuan -- see tiered.py basin note)
     "lbfgs256": dict(segment=256, direction="lbfgs"),
@@ -48,15 +59,16 @@ VARIANTS = {
                          accelerate=None),
     # low-frequency-boosting SPD Fourier preconditioner variants
     # (CGOptions.precondition='illum_lowk'); b<boost>f<frac*100>
-    "lowk256": dict(segment=256, precondition="illum_lowk"),
+    "lowk256": dict(segment=256, precondition="illum_lowk",
+                    direction="dy"),
     "lowk256b8": dict(segment=256, precondition="illum_lowk",
-                      lowk_boost=8.0),
+                      lowk_boost=8.0, direction="dy"),
     "lowk256b2": dict(segment=256, precondition="illum_lowk",
-                      lowk_boost=2.0),
+                      lowk_boost=2.0, direction="dy"),
     "lowk256f10": dict(segment=256, precondition="illum_lowk",
-                       lowk_frac=0.10),
+                       lowk_frac=0.10, direction="dy"),
     "lowk256f3": dict(segment=256, precondition="illum_lowk",
-                      lowk_frac=0.03),
+                      lowk_frac=0.03, direction="dy"),
 }
 
 

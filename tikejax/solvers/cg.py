@@ -166,8 +166,15 @@ class CGOptions:
     # actual count. 'auto' kernel selection honours the target (deep
     # targets escalate to the fused_mp/fused_hp accuracy tiers).
     target_residual: float = 0.0
-    # Search-direction rule for the OBJECT step: 'dy' is the
-    # reference's Dai-Yuan nonlinear CG ([R] libtike/cufft/ptycho.py,
+    # Search-direction rule for the OBJECT step: 'auto' (default)
+    # resolves to 'dy' here in run() -- a standalone solve must stay
+    # globalization-safe (an L-BFGS-warmed FLAT start measurably lands
+    # in bad local basins, BASELINE.md round 3) -- while
+    # solvers.reconstruct resolves it to 'lbfgs' for the split
+    # refinement segments, where the basin is settled and the TPU A/B
+    # shows L-BFGS dominating (1e-6: 23.2 s / 1048 iters vs 29.0 s /
+    # 1699 with Dai-Yuan, round 3). 'dy' is the reference's Dai-Yuan
+    # nonlinear CG ([R] libtike/cufft/ptycho.py,
     # SURVEY.md SS2/C5); 'lbfgs' / 'lbfgs:<m>' is two-loop L-BFGS on
     # the preconditioned gradient (ring of the last m (s, y) pairs,
     # default m=8, curvature-guarded: pairs with <s,y> <= 1e-12
@@ -180,7 +187,7 @@ class CGOptions:
     # uses Dai-Yuan (the joint alternation re-bases the probe
     # objective every iteration, which invalidates quasi-Newton
     # curvature pairs).
-    direction: str = "dy"
+    direction: str = "auto"
     # Stop after this many CONSECUTIVE iterations whose line searches
     # fully failed (gamma = 0 for the object step and, under joint
     # recovery, the probe step too): the objective cannot be decreased
@@ -397,11 +404,12 @@ class _Engine:
                              f"{o.merged_linesearch!r}; expected 'auto' "
                              "or 'off'")
         self.lbfgs_m = 0
-        if o.direction != "dy":
+        if o.direction not in ("dy", "auto"):
             base, _, depth = o.direction.partition(":")
             if base != "lbfgs" or (depth and not depth.isdigit()):
                 raise ValueError(f"unknown direction {o.direction!r}; "
-                                 "expected 'dy', 'lbfgs', or 'lbfgs:<m>'")
+                                 "expected 'auto', 'dy', 'lbfgs', or "
+                                 "'lbfgs:<m>'")
             self.lbfgs_m = int(depth) if depth else 8
             if not 1 <= self.lbfgs_m <= 32:
                 raise ValueError("lbfgs memory must be in [1, 32], got "

@@ -111,12 +111,17 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
       options / kw: base CGOptions (piter/kernel/target_residual are
         overridden per stage; everything else -- model, nchunks, memory,
         linesearch, direction -- applies where compatible). NOTE on
-        ``direction='lbfgs[:m]'``: it applies to the refinement
-        segments only -- the early (and joint) stages are always forced
-        to Dai-Yuan, because an L-BFGS-warmed flat start measurably
-        lands in bad local basins of the nonconvex objective (every
-        later optimizer then stalls at 3.09e-4 on the CPU A/B where
-        DY-warmed runs reach <1e-4; BASELINE.md round 3). Measured note: the
+        ``direction``: the default 'auto' resolves to two-loop L-BFGS
+        (m=8) for the refinement segments -- the measured TPU dominant
+        (1e-6: 23.2 s / 1048 iters vs 29.0 s / 1699 with Dai-Yuan,
+        3x-reproducible; BASELINE.md round 3) -- and any requested
+        direction applies to the refinement segments only: the early
+        (and joint) stages are always forced to Dai-Yuan, because an
+        L-BFGS-warmed flat start measurably lands in bad local basins
+        of the nonconvex objective (every later optimizer then stalls
+        at 3.09e-4 on the CPU A/B where DY-warmed runs reach <1e-4;
+        BASELINE.md round 3). Pass direction='dy' to keep Dai-Yuan
+        refinement. Measured note: the
         'parabolic' line search HURTS deep-tail convergence (8.6e-5 vs
         1.7e-5 at 512 fused_hp iterations -- the vertex fit chases
         objective noise once f(gamma) flattens); keep the default.
@@ -245,9 +250,17 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # Stage 2: split-operator refinement. The base farplane is computed
     # once per segment with the accurate tier; CG then runs on the small
     # correction delta with the fast kernels (errors scale with delta).
+    # direction='auto' resolves to L-BFGS here (and ONLY here): the
+    # basin is settled by the Dai-Yuan stage 1, and the TPU A/B shows
+    # L-BFGS refinement dominating (1e-6: 23.2 s / 1048 iters vs
+    # 29.0 s / 1699; 3x-reproducible; BASELINE.md round 3). Plain
+    # cg.run keeps 'auto'='dy' (flat-start basin hazard).
+    refine_dir = ("lbfgs" if options.direction == "auto"
+                  else options.direction)
     opts2 = dataclasses.replace(options, kernel=fast, piter=segment,
                                 target_residual=target, nchunks=1,
-                                carry_state=segment_carry)
+                                carry_state=segment_carry,
+                                direction=refine_dir)
     # All device work stays jitted: eager complex constants / arithmetic
     # are unimplemented or pathologically slow on some TPU transports
     # (tikejax.utils.hostio).
