@@ -69,11 +69,14 @@ def _ls_evals(metrics, opts, piter):
     return evals / max(piter, 1)
 
 
-# bf16 MXU passes per complex matmul, by kernel tier: the single-pass
-# tier uses the schoolbook form (4 real mms x 1 bf16 pass); fused_mp
-# uses Karatsuba (3 real mms) of bf16x3 (3 passes each) = 9; fused_hp's
-# full-f32 mms are counted at the f32:bf16 throughput ratio.
-_MXU_PASSES = {"fused": 4, "fused_mp": 9, "fused_hp": 12}
+# bf16 MXU passes per complex matmul, by kernel tier, split into
+# (forward-DFT, adjoint-IDFT) halves: the single-pass tier uses the
+# schoolbook form (4 real mms x 1 bf16 pass); fused_mp uses Karatsuba
+# (3 real mms) of bf16x3 (3 passes each) = 9; fused_hp's full-f32 mms
+# are counted at the f32:bf16 throughput ratio; fused_mx runs the
+# forward at the mp tier and the gradient IDFT at the single-pass tier.
+_MXU_PASSES = {"fused": (4, 4), "fused_mp": (9, 9), "fused_hp": (12, 12),
+               "fused_mx": (9, 4)}
 
 
 def _perf_model(g: Geometry, metrics, opts, dt, piter):
@@ -89,9 +92,9 @@ def _perf_model(g: Geometry, metrics, opts, dt, piter):
 
     With the merged gradient/line-search (the default here) EVERY
     objective evaluation is a gradient mega-kernel pass: 1 data read +
-    2 DFT applications (fwd + adj) per eval, and there is no separate
-    gradient pass. Classic mode: one gradient pass (1 read + 2 apps)
-    plus 1 read + 1 app per line-search evaluation.
+    1 forward DFT + 1 adjoint IDFT application per eval, and there is
+    no separate gradient pass. Classic mode: one gradient pass (1 read
+    + fwd + adj) plus 1 read + 1 fwd app per line-search evaluation.
     """
     from tikejax.ops.diffraction import resolve_kernel
     from tikejax.solvers.cg import CGOptions, _Engine, normalize_options
@@ -100,16 +103,18 @@ def _perf_model(g: Geometry, metrics, opts, dt, piter):
     eng = _Engine(g, nopts)
     data_px = g.ntheta * g.nscan * g.ndet * g.ndet
     evals = _ls_evals(metrics, opts, piter)
+    fwd_p, adj_p = _MXU_PASSES.get(resolve_kernel(nopts.kernel), (4, 4))
     if eng.merged:
-        reads, apps = evals, 2.0 * evals
+        reads = evals
+        passes = evals * (fwd_p + adj_p)
     else:
-        reads, apps = 1 + evals, 2.0 + evals
+        reads = 1 + evals
+        passes = (fwd_p + adj_p) + evals * fwd_p
     total_bytes = piter * reads * 4 * data_px
     gbps = total_bytes / dt / 1e9
-    passes = _MXU_PASSES.get(resolve_kernel(nopts.kernel), 4)
-    macs_per_app = passes * g.ndet * g.nprb * (g.nprb + g.ndet)
+    macs_per_pass = g.ndet * g.nprb * (g.nprb + g.ndet)
     frames = g.ntheta * g.nscan * g.nmodes
-    flops = piter * apps * frames * macs_per_app * 2
+    flops = piter * passes * frames * macs_per_pass * 2
     tflops = flops / dt / 1e12
     return gbps, tflops, tflops / V5E_MXU_TFLOPS, evals
 

@@ -29,7 +29,7 @@ from tikejax.utils import cones, device_sync as sync, scalar, \
 #   hp    (full f32):     16.6 vs 21.0 iters/s, acc 3.75e-7 vs 3.79e-7
 # (explicit one-shot bf16 operand conversion on the fast tier: 65.2,
 # within the +-20% transport noise of 63.1 -> not adopted).
-TIERS = ("fused", "fused_mp", "fused_hp")
+TIERS = ("fused", "fused_mp", "fused_hp", "fused_mx")
 
 
 def op_accuracy(tier, g, psi, scan, prb):
@@ -64,18 +64,27 @@ def main(tiers):
                         model="gaussian", kernel=tier)
         sync(psi)
         compile_s = time.time() - t0
-        t0 = time.time()
-        psi, _, m = run(data, psi0, scan, prb, g, piter=piter,
-                        model="gaussian", kernel=tier)
-        sync(psi)
-        dt = max(time.time() - t0 - overhead, 1e-9)
+        # Three steady windows: the transport's timing noise is BIMODAL
+        # (occasional runs land ~10 s slow wholesale; BASELINE.md round
+        # 3), so report every window and compare medians.
         import numpy as np
         from tikejax.utils import to_host
-        ran = max(int(to_host(m["iters_run"])), 1)
+        rates = []
+        for _ in range(3):
+            t0 = time.time()
+            psi, _, m = run(data, psi0, scan, prb, g, piter=piter,
+                            model="gaussian", kernel=tier)
+            sync(psi)
+            dt = max(time.time() - t0 - overhead, 1e-9)
+            ran = max(int(to_host(m["iters_run"])), 1)
+            rates.append(ran / dt)
         minf_l = float(np.asarray(to_host(m["minf"]))[ran - 1])
-        print(f"{tier:10s} acc={acc:.2e}  {ran/dt:6.1f} iters/s "
-              f"({ran} iters, compile+1st {compile_s:.0f}s)  minf_last="
-              f"{minf_l:.4e}", flush=True)
+        res_l = float(np.asarray(to_host(m["residual"]))[ran - 1])
+        med = sorted(rates)[1]
+        print(f"{tier:10s} acc={acc:.2e}  {med:6.1f} iters/s median "
+              f"(windows {' '.join(f'{r:.1f}' for r in rates)}; "
+              f"{ran} iters, compile+1st {compile_s:.0f}s)  minf_last="
+              f"{minf_l:.4e} res_last={res_l:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -253,3 +253,69 @@ def test_frames_per_step_guard(monkeypatch):
     monkeypatch.delenv("TIKEJAX_FRAMES_PER_STEP_FORCE")
     monkeypatch.setenv("TIKEJAX_FRAMES_PER_STEP", "8")
     assert pallas_fused._positions_per_step(4) == 2
+
+
+def test_fused_mx_asymmetric_tier(rng):
+    """'fused_mx' runs the forward/objective half at the fused_mp tier
+    and only the gradient IDFT at the single-pass tier: the scalar
+    objective must be BITWISE identical to fused_mp's (same forward
+    code at the same precision), the gradient within the single-pass
+    tier's relative tolerance of the symmetric one, and the solver must
+    accept the tier (resolving linesearch='auto' to backtracking like
+    the other deep-objective tiers)."""
+    from tikejax.ops import pallas_fused
+    from tikejax.ops.diffraction import (_fused_adj_precision,
+                                         _fused_precision)
+    from tikejax.solvers.cg import CGOptions, _Engine
+
+    g = GEOMS[1]
+    psi, scan, prb, _ = make_inputs(rng, g)
+    data = jnp.abs(fwd_raw(psi, scan, prb, g.ndet, kernel="xla")) ** 2
+    data = jnp.sum(data, axis=2)
+    scan_i = scan_to_int(scan)
+
+    assert _fused_precision("fused_mx") == _fused_precision("fused_mp")
+    assert _fused_precision("fused_hx") == _fused_precision("fused_hp")
+    # The adjoint tag must be TRUTHY ('bf16'): a None would fall through
+    # the kernel wrappers' `adj_precision or precision` chain and
+    # silently run the adjoint at the forward precision (the round-3
+    # first-A/B bug: mx measured bit-identical to mp).
+    assert _fused_adj_precision("fused_mx") == "bf16"
+    assert _fused_adj_precision("fused_hx") == "bf16"
+    assert (_fused_adj_precision("fused_mp")
+            == _fused_precision("fused_mp"))
+
+    g_mx, f_mx = pallas_fused.grad_fused(
+        psi * 0.9, data, scan_i, prb, g.ndet, "gaussian",
+        precision=_fused_precision("fused_mx"),
+        adj_precision=_fused_adj_precision("fused_mx"))
+    g_mp, f_mp = pallas_fused.grad_fused(
+        psi * 0.9, data, scan_i, prb, g.ndet, "gaussian",
+        precision=_fused_precision("fused_mp"))
+    assert float(f_mx) == float(f_mp)  # identical forward half
+    scale = float(jnp.max(jnp.abs(g_mp)))
+    # Interpreter/CPU: DEFAULT precision is exact f32, so the tilt is 0;
+    # on MXU hardware it is the single-pass tier's ~2.5e-3. Bound both.
+    assert float(jnp.max(jnp.abs(g_mx - g_mp))) < 5e-3 * scale
+
+    p_mx, fp_mx = pallas_fused.grad_prb_fused(
+        psi, data, scan_i, prb, g.ndet, "gaussian",
+        precision=_fused_precision("fused_mx"),
+        adj_precision=_fused_adj_precision("fused_mx"))
+    p_mp, fp_mp = pallas_fused.grad_prb_fused(
+        psi, data, scan_i, prb, g.ndet, "gaussian",
+        precision=_fused_precision("fused_mp"))
+    assert float(fp_mx) == float(fp_mp)
+    scale = float(jnp.max(jnp.abs(p_mp)))
+    assert float(jnp.max(jnp.abs(p_mx - p_mp))) < 5e-3 * scale
+
+    eng = _Engine(g, CGOptions(kernel="fused_mx"))
+    assert eng.ls == "backtracking"
+    assert eng.merged and eng.frameless
+
+    from tikejax.solvers import run
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+    _, _, m = run(data, psi0, scan, prb, g, piter=24, model="gaussian",
+                  kernel="fused_mx")
+    res = np.asarray(m["residual"])
+    assert res[-1] < res[0]

@@ -52,15 +52,40 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 #   'fused_hp' -- same kernels, Karatsuba complex mm of full-f32 MXU
 #                 passes (~4e-7 operator accuracy, ~28 iters/s): use
 #                 when chasing the deepest residuals.
-#   'auto'     -- 'fused_mp' on TPU, 'xla' elsewhere. fused_mp DOMINATES
+#   'fused_mx' -- ASYMMETRIC precision: forward DFT (and therefore the
+#                 objective, the residual metric, and every line-search
+#                 accept decision) at the fused_mp bf16x3 tier, but the
+#                 adjoint/gradient IDFT at the single-pass tier. The
+#                 adjoint is a fixed linear map applied to the residual,
+#                 so its error enters the gradient as a deterministic
+#                 ~0.25% direction tilt RELATIVE to the gradient
+#                 magnitude at any depth -- it does not move the
+#                 residual floor, which the forward precision sets.
+#                 Cuts the gradient mega-kernel's MXU passes per
+#                 evaluation from 18 to 13 vs fused_mp: measured on the
+#                 512^2/16k headline 73.5 vs 55.3 iters/s with an
+#                 identical residual trajectory (BASELINE.md round 3).
+#                 NOTE: fwd/adj are consequently NOT a 1e-5-level
+#                 Hermitian pair under this tier (the pair identity
+#                 holds at the single-pass tier's accuracy); use
+#                 fused_mp/fused_hp where exact pairing matters.
+#   'fused_hx' -- same asymmetry one tier up: forward/objective at the
+#                 fused_hp full-f32 tier, gradient IDFT single-pass
+#                 (24 -> 16 MXU passes per gradient evaluation).
+#   'auto'     -- 'fused_mx' on TPU, 'xla' elsewhere. fused_mp DOMINATES
 #                 the single-pass tier over any full trajectory (round-2
 #                 A/B on the headline: 56.2 vs 41.5 iters/s full-window,
 #                 at ~300x the operator accuracy -- its cleaner gradients
-#                 keep the line search short deep into the run), so it is
-#                 the no-target default; 'fused' remains the explicit
-#                 quick-preview tier and is still auto-selected when a
-#                 shallow target_residual (> its floor) is requested.
-_KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "auto")
+#                 keep the line search short deep into the run), and
+#                 fused_mx dominates fused_mp (round-3 A/B: 73.5 vs 55.3
+#                 iters/s median-of-3 with an IDENTICAL residual
+#                 trajectory, res 2.82e-5 @ 400 iters and 9.0e-6 @ 1024
+#                 both), so mx is the no-target default; 'fused' remains
+#                 the explicit quick-preview tier and is still
+#                 auto-selected when a shallow target_residual (> its
+#                 floor) is requested.
+_KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "fused_mx",
+            "fused_hx", "auto")
 
 
 # Practical relative-residual floors of the fused accuracy tiers on the
@@ -70,13 +95,15 @@ _KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "auto")
 FUSED_RESIDUAL_FLOOR = 5e-3      # 'fused'    (~2.5e-3 operator error)
 # 'fused_mp' (Karatsuba bf16x3, ~8e-6 operator error): measured on the
 # 512^2/16k headline, residual 3.0e-5 @ 385 iters, 8.6e-6 @ 1024 and
-# still descending -- 1e-5 is reachable with margin.
+# still descending -- 1e-5 is reachable with margin. 'fused_mx' SHARES
+# this floor: its forward/objective half is the same bf16x3 DFT, and
+# the measured trajectories are identical (9.0e-6 @ 1024 both).
 FUSED_MP_RESIDUAL_FLOOR = 1e-5
 
 
 def resolve_kernel(kernel: str) -> str:
     if kernel == "auto":
-        return "fused_mp" if jax.default_backend() == "tpu" else "xla"
+        return "fused_mx" if jax.default_backend() == "tpu" else "xla"
     return kernel
 
 
@@ -85,9 +112,10 @@ def resolve_kernel_for_target(kernel: str, target_residual: float) -> str:
     Deep targets escalate to the full-precision DFT tier; SHALLOW targets
     (above the fast tier's floor) de-escalate to the single-pass preview
     tier, which reaches them soonest; everything else -- including the
-    no-target default -- gets 'fused_mp', the tier the repo's own
-    full-trajectory A/B shows dominates (VERDICT r2 weak #2: the old
-    no-target 'fused' default was the measured-dominated choice).
+    no-target default -- gets 'fused_mx', the tier the repo's own
+    full-trajectory A/Bs show dominates (round 2: fused_mp beat the old
+    'fused' default 56.2 vs 41.5 iters/s; round 3: fused_mx beat
+    fused_mp 73.5 vs 55.3 with an identical trajectory).
     Explicit kernel choices are returned unchanged. Targets are on the
     solver's relative-residual scale, which is comparable across the
     gaussian and poisson models (likelihoods.poisson_perfect_minf)."""
@@ -97,7 +125,7 @@ def resolve_kernel_for_target(kernel: str, target_residual: float) -> str:
         return "fused_hp"
     if target_residual and target_residual > FUSED_RESIDUAL_FLOOR:
         return "fused"
-    return "fused_mp"
+    return "fused_mx"
 
 
 def _fused_precision(kernel: str):
@@ -110,9 +138,9 @@ def _fused_precision(kernel: str):
     # 3.79e-7). The single-pass 'fused' tier keeps the schoolbook form:
     # Karatsuba measured no faster there (63.6 vs 63.1) and costs
     # accuracy (2.5e-3 -> 4.1e-3). See benchmarks/kernel_ab.py.
-    if kernel == "fused_hp":
+    if kernel in ("fused_hp", "fused_hx"):
         return "kara_hp"
-    if kernel == "fused_mp":
+    if kernel in ("fused_mp", "fused_mx"):
         return "kara_x3"
     # A/B knob for the fast tier now that the kernel is MXU-bound
     # (Karatsuba = 3/4 of the MXU passes, at ~1.6x the operator error).
@@ -120,6 +148,21 @@ def _fused_precision(kernel: str):
     if int(os.environ.get("TIKEJAX_FUSED_KARA", "0")):
         return "kara"
     return None
+
+
+def _fused_adj_precision(kernel: str):
+    """Precision of the adjoint-side (IDFT) matmuls in the gradient
+    paths. Identical to the forward precision for the symmetric tiers;
+    the asymmetric 'fused_mx'/'fused_hx' tiers run the adjoint at the
+    single-pass tier (see the _KERNELS table: a deterministic
+    ~0.25%-relative gradient-direction tilt in exchange for 5 of the 18
+    / 8 of the 24 MXU passes per gradient evaluation). Returns the
+    EXPLICIT 'bf16' tag (one bf16 MXU pass per real matmul, measured
+    equivalent to Precision.DEFAULT) rather than None: None means "same
+    as the forward precision" in the kernel wrappers' fallback chain."""
+    if kernel in ("fused_mx", "fused_hx"):
+        return "bf16"
+    return _fused_precision(kernel)
 
 
 def _nearplane_fwd(psi, scan_int, prb, kernel):
@@ -194,7 +237,7 @@ def adj_raw(farplane: jax.Array, scan: jax.Array, prb: jax.Array, nz: int,
         from tikejax.ops import pallas_fused
 
         return pallas_fused.adj(farplane, scan_int, prb, nz, n,
-                                precision=_fused_precision(kernel))
+                                precision=_fused_adj_precision(kernel))
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
     return _adj_object(nearplane, scan_int, prb, nz, n, kernel)
 
@@ -209,7 +252,7 @@ def adj_probe_raw(farplane: jax.Array, scan: jax.Array, psi: jax.Array,
         from tikejax.ops import pallas_fused
 
         return pallas_fused.adj_probe(farplane, scan_int, psi, nprb,
-                                      precision=_fused_precision(kernel))
+                                      precision=_fused_adj_precision(kernel))
     nearplane = crop_from_det(ifft2o(farplane), nprb)  # (t, s, m, p, p)
     return _adj_probe_acc(nearplane, scan_int, psi, kernel)
 

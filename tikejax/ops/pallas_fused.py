@@ -979,9 +979,9 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
-                 sy, sx, f1r, f1i, fcr, fci, pre, pim, dat, bre, bim,
-                 *rest):
+def _grad_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
+                 has_base, v2, sy, sx, f1r, f1i, fcr, fci, pre, pim, dat,
+                 bre, bim, *rest):
     if has_base:
         zre, zim, ore, oim, fsum = rest
     else:
@@ -1047,8 +1047,14 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
             k = p * nmodes + m
             frs[k] = frs[k] * factor
             fis[k] = fis[k] * factor
+    # The IDFT may run at a CHEAPER precision than the forward DFT
+    # (kernel='fused_mx'): the objective/accept decisions above consume
+    # only the forward half, and adjoint error enters the returned
+    # gradient as a deterministic ~0.25% direction tilt RELATIVE to the
+    # residual magnitude -- it does not move the residual floor, which
+    # the forward (objective) precision sets.
     ars, ais = _idft2_many(frs, fis, f1r[...], f1i[...], fcr[...],
-                           fci[...], prec)
+                           fci[...], adj_prec)
 
     # Phase C: conj-probe multiply, mode-sum, overlap scatter.
     rows = _acc_rows(v2, nprb)
@@ -1070,11 +1076,18 @@ def _grad_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
 def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                prb: jax.Array, ndet: int, model: str, precision=None,
                base: jax.Array | None = None,
-               addressing: str | None = None):
+               addressing: str | None = None, adj_precision=None):
     """Full likelihood gradient w.r.t. the object plus the objective in a
     single kernel pass (no farplane in HBM). With ``base``, the forward
     field is G(psi) + base (split-operator refinement: psi is a small
     correction, base the frozen accurate farplane).
+
+    ``adj_precision`` (default: same as ``precision``) selects the IDFT
+    matmul precision separately from the forward DFT's: the objective is
+    computed entirely from the forward half, so a cheaper adjoint only
+    tilts the returned gradient direction by the adjoint tier's RELATIVE
+    error without moving the achievable residual floor (the 'fused_mx'
+    asymmetric tier, ops.diffraction._fused_adj_precision).
 
     Returns:
       (grad_psi ``(ntheta, nz, n)`` complex64, minf ``()`` float32).
@@ -1119,8 +1132,9 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     ]
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s, base is not None,
-                          v2),
+                          precision or PRECISION,
+                          adj_precision or precision or PRECISION, s,
+                          base is not None, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -1254,9 +1268,9 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
-                     f1r, f1i, fcr, fci, pre, pim, dat, bre, bim, ore,
-                     oim, fsum):
+def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
+                     v2, sy, sx, f1r, f1i, fcr, fci, pre, pim, dat, bre,
+                     bim, ore, oim, fsum):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -1298,8 +1312,9 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
             k = p * nmodes + m
             frs[k] = frs[k] * factor
             fis[k] = fis[k] * factor
+    # Cheaper-adjoint option, same rationale as _grad_kernel.
     ars, ais = _idft2_many(frs, fis, f1r[...], f1i[...], fcr[...],
-                           fci[...], prec)
+                           fci[...], adj_prec)
 
     for p in range(P):
         ar, ai = pats[p]
@@ -1322,9 +1337,10 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy, sx,
 
 def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                    prb: jax.Array, ndet: int, model: str, precision=None,
-                   addressing: str | None = None):
+                   addressing: str | None = None, adj_precision=None):
     """Full likelihood gradient w.r.t. the probe plus the objective in a
-    single kernel pass (no farplane in HBM).
+    single kernel pass (no farplane in HBM). ``adj_precision`` selects
+    the IDFT precision separately (see :func:`grad_fused`).
 
     Returns:
       (grad_prb ``(ntheta, nmodes, nprb, nprb)`` complex64,
@@ -1374,7 +1390,9 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_prb_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s, v2),
+                          precision or PRECISION,
+                          adj_precision or precision or PRECISION, s,
+                          v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),

@@ -61,14 +61,16 @@ class CGOptions:
       max_halvings: bound on backtracking steps (then gamma=0, no move).
       nchunks: scan-position minibatching factor; >1 streams chunks through
         lax.scan without materialising the full farplane. Must divide nscan.
-      kernel: operator implementation -- 'auto' (default: fused_mp on
+      kernel: operator implementation -- 'auto' (default: fused_mx on
         TPU, the tier that dominates full trajectories; a shallow
         target_residual selects the 'fused' preview tier, a deep one
         'fused_hp'), 'fused' (one Pallas kernel per operator, MXU DFT,
         fastest per pass at ~1e-3 accuracy), 'fused_mp' (Karatsuba
-        bf16x3 DFT, ~8e-6), 'fused_hp' (full-f32 for the deepest
-        residuals), 'pallas' (Pallas gather/scatter + XLA FFT), 'xla'
-        (oracle).
+        bf16x3 DFT, ~8e-6), 'fused_mx'/'fused_hx' (asymmetric: mp/hp
+        forward + objective, single-pass gradient IDFT -- mp/hp-grade
+        floors at a fraction of the MXU work), 'fused_hp' (full-f32
+        for the deepest residuals), 'pallas' (Pallas gather/scatter +
+        XLA FFT), 'xla' (oracle).
       axis_name: mesh axis name for scan-sharded execution (psum of scalars
         and gradients); None for single-device runs.
       theta_axis_name: mesh axis name sharding the (embarrassingly
@@ -396,8 +398,11 @@ class _Engine:
         # deep-residual descent on the accuracy tiers.
         self.ls = o.linesearch
         if self.ls == "auto":
+            # The asymmetric mx/hx tiers count as deep: their OBJECTIVE
+            # runs at the mp/hp tier, and the objective accuracy is what
+            # made interp's smaller steps hurt the deep tiers.
             deep = diffraction.resolve_kernel(o.kernel) in (
-                "fused_mp", "fused_hp")
+                "fused_mp", "fused_hp", "fused_mx", "fused_hx")
             self.ls = "backtracking" if deep else "interp"
         if o.merged_linesearch not in ("auto", "off"):
             raise ValueError(f"unknown merged_linesearch "
@@ -530,6 +535,7 @@ class _Engine:
 
                 scan_i = _patches.scan_to_int(scan)
                 prec = diffraction._fused_precision(resolved)
+                adj_prec = diffraction._fused_adj_precision(resolved)
                 if self.frameless:
                     # Gradient mega-kernel: fwd + residual + objective +
                     # adjoint in one pass; the farplane never exists in
@@ -538,14 +544,16 @@ class _Engine:
                     # input.
                     gpsi, f0 = pallas_fused.grad_fused(
                         psi, data, scan_i, prb, self.g.ndet, o.model,
-                        precision=prec, base=self.f_base)
+                        precision=prec, base=self.f_base,
+                        adj_precision=adj_prec)
                 else:
                     # Materialize G(psi) once (reused by the line-search
-                    # statistics pass), then the fused gradient tail.
+                    # statistics pass), then the fused gradient tail
+                    # (whose only DFT work is the IDFT: adjoint tier).
                     fpsi = self._fwd_obj(psi, scan, prb)
                     gpsi, f0 = pallas_fused.adj_residual(
                         fpsi, data, scan_i, prb, self.g.nz, self.g.n,
-                        o.model, precision=prec)
+                        o.model, precision=adj_prec)
             elif (want_prb and not want_psi and self.frameless and
                   diffraction.resolve_kernel(o.kernel).startswith("fused")):
                 # Probe-gradient mega-kernel (joint recovery in the
@@ -557,6 +565,8 @@ class _Engine:
                 gprb, f0 = pallas_fused.grad_prb_fused(
                     psi, data, scan_i, prb, self.g.ndet, o.model,
                     precision=diffraction._fused_precision(
+                        diffraction.resolve_kernel(o.kernel)),
+                    adj_precision=diffraction._fused_adj_precision(
                         diffraction.resolve_kernel(o.kernel)))
             else:
                 fpsi = self._fwd_obj(psi, scan, prb)
@@ -1370,9 +1380,12 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     'fused' is the fastest per pass (~1e-3 operator error, residual
     floor ~2e-3) but only wins short previews; 'fused_mp' (~8e-6) is
     FASTER over any full trajectory (its cleaner gradients keep the
-    line search short -- round-2 A/B 56.2 vs 41.5 iters/s) and is the
-    no-target default; 'fused_hp' ~4e-7 for the deepest residuals (both
-    multi-pass tiers use Karatsuba complex matmuls).
+    line search short -- round-2 A/B 56.2 vs 41.5 iters/s); 'fused_mx'
+    (mp forward/objective + single-pass gradient IDFT) matches
+    fused_mp's trajectory exactly at 3/4 the MXU work (round-3 A/B
+    73.5 vs 55.3 iters/s) and is the no-target default; 'fused_hp'
+    ~4e-7 for the deepest residuals ('fused_hx' its asymmetric
+    counterpart; the multi-pass tiers use Karatsuba complex matmuls).
     ``kernel='auto'`` picks by ``target_residual`` when one is set
     (deep targets escalate the tier, shallow ones select the preview
     tier) and 'fused_mp' otherwise; for time-to-deep-residual

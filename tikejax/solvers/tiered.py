@@ -42,7 +42,10 @@ from tikejax.utils import hostio
 # never burns iterations grinding against its own operator noise.
 DEFAULT_TIERS = (
     ("fused", diffraction.FUSED_RESIDUAL_FLOOR, 256),
-    ("fused_mp", diffraction.FUSED_MP_RESIDUAL_FLOOR, 1024),
+    # The asymmetric mx tier shares fused_mp's objective accuracy and
+    # floor at 3/4 of the MXU work (round-3 A/B: identical trajectory,
+    # 73.5 vs 55.3 iters/s on the headline config).
+    ("fused_mx", diffraction.FUSED_MP_RESIDUAL_FLOOR, 1024),
     ("fused_hp", 0.0, 8192),
 )
 
