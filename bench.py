@@ -196,10 +196,12 @@ def main():
         g, metrics, opts, dt, piter)
 
     # Secondary tier (VERDICT r1 #8): the deep-residual kernel. Measure
-    # time-to-1e-4 relative residual with the bf16x3 middle-precision DFT
-    # (compile excluded by a warm-up run).
+    # time-to-1e-4 relative residual with the middle-precision tier
+    # (fused_mx since round 3: bf16x3 forward/objective + single-pass
+    # gradient IDFT; identical trajectory to fused_mp at +33% rate).
+    # Compile excluded by a warm-up run.
     mp_iters = 240
-    mp_opts = dict(piter=mp_iters, model="gaussian", kernel="fused_mp")
+    mp_opts = dict(piter=mp_iters, model="gaussian", kernel="fused_mx")
     _, _, m_mp = run(data, psi0, scan, prb, g, **mp_opts)
     sync(m_mp["residual"])
     t0 = time.time()
@@ -211,7 +213,7 @@ def main():
     hit = np.nonzero(res_mp < 1e-4)[0]
     t_to_1e4 = round(dt_mp * (int(hit[0]) + 1) / mp_ran, 2) if len(
         hit) else None
-    log(f"fused_mp: {mp_ran} iters in {dt_mp:.1f}s, "
+    log(f"fused_mx: {mp_ran} iters in {dt_mp:.1f}s, "
         f"res_last {res_mp[-1]:.2e}, time-to-1e-4 {t_to_1e4}s")
 
     # The other half of the driver metric (BASELINE.json:2): wall time to
@@ -260,8 +262,9 @@ def main():
                          "measured 0.99 of the 819 GB/s HBM roofline); "
                          f"{ls_evals:.2f} line-search evals/iter from "
                          "the gamma trace",
-        "fused_mp_time_to_1e-4_residual_s": t_to_1e4,
-        "fused_mp_iters_per_sec": round(mp_ran / dt_mp, 2),
+        "mid_tier_kernel": "fused_mx",
+        "mid_tier_time_to_1e-4_residual_s": t_to_1e4,
+        "mid_tier_iters_per_sec": round(mp_ran / dt_mp, 2),
         "time_to_1e-6_residual_s": t_to_1e6,
         "time_to_1e-6_iters": deep_iters,
         "time_to_1e-6_runs_s": deep_times,

@@ -59,6 +59,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                 segment: int = 256, max_segments: int = 48,
                 base_kernel: str | None = None,
                 fast_kernel: str | None = None,
+                joint_kernel: str | None = None,
                 segment_carry: bool = True,
                 floor_patience: int = 3,
                 accelerate: str | None = "anderson",
@@ -78,6 +79,16 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         iterations between base re-freezes) and budget.
       base_kernel / fast_kernel: split-mode kernels (defaults:
         fused_hp / fused on TPU, the XLA oracle elsewhere).
+      joint_kernel: kernel for the joint escalation / probe-refresh
+        chains under recover_prb (default: base_kernel). Swapping in
+        the asymmetric 'fused_hx' was measured and REJECTED as the
+        default: despite +48% per-iteration rate, the joint chain's
+        tail is a slow-contraction regime where the gradient tilt
+        costs iterations, and the slightly-worse frozen probe triggers
+        extra refresh cycles — headline recover_prb A/B 120.2 s /
+        1815 iters / 14 stages vs 109.6 s / 1469 / 9 with fused_hp
+        (benchmarks/probe_recover_ab.py; BASELINE.md round 3). Kept as
+        an explicit knob.
       segment_carry: continue the conjugate-gradient trajectory across
         split-segment re-bases (the terminal direction/gradient/step
         state seeds the next segment via cg.run's ``cg_init``) instead
@@ -164,7 +175,8 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         return _reconstruct_split(data, psi0, scan, prb0, geometry,
                                   target_residual, segment, max_segments,
                                   base_kernel, fast_kernel, options, tiers,
-                                  segment_carry, floor_patience, accelerate)
+                                  segment_carry, floor_patience, accelerate,
+                                  joint_kernel)
 
     psi, prb = psi0, prb0
     stages = []
@@ -196,11 +208,12 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
 def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                        max_segments, base_kernel, fast_kernel, options,
                        tiers, segment_carry=True, floor_patience=3,
-                       accelerate=None):
+                       accelerate=None, joint_kernel=None):
     """Fast tier to its floor, then split-operator refinement segments."""
     on_tpu = jax.default_backend() == "tpu"
     fast = fast_kernel or ("fused" if on_tpu else "xla")
     base = base_kernel or ("fused_hp" if on_tpu else "xla")
+    joint_kern = joint_kernel or base
     floor = tiers[0][1] if tiers else diffraction.FUSED_RESIDUAL_FLOOR
     stages = []
 
@@ -234,8 +247,8 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # round 3 — same failure class as the documented 2048-iter object
     # dispatch). The chain is dispatched back-to-back asynchronously;
     # early-exited tails cost one iteration each.
-    joint_opts = dataclasses.replace(options, kernel=base, piter=128,
-                                     target_residual=target,
+    joint_opts = dataclasses.replace(options, kernel=joint_kern,
+                                     piter=128, target_residual=target,
                                      direction="dy")
     if recover:
         if target < floor:
