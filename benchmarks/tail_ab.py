@@ -57,6 +57,10 @@ VARIANTS = {
     "lbfgs128": dict(segment=128, direction="lbfgs"),
     "lbfgs256noaa": dict(segment=256, direction="lbfgs",
                          accelerate=None),
+    # Reverse-asymmetric refinement kernel: single-pass forward (same
+    # objective/floor as 'fused') + bf16x3 gradient IDFT, probing
+    # whether cleaner L-BFGS curvature pairs cut deep iterations.
+    "amfast256": dict(segment=256, fast_kernel="fused_am"),
     # low-frequency-boosting SPD Fourier preconditioner variants
     # (CGOptions.precondition='illum_lowk'); b<boost>f<frac*100>
     "lowk256": dict(segment=256, precondition="illum_lowk",

@@ -282,6 +282,9 @@ def test_fused_mx_asymmetric_tier(rng):
     # first-A/B bug: mx measured bit-identical to mp).
     assert _fused_adj_precision("fused_mx") == "bf16"
     assert _fused_adj_precision("fused_hx") == "bf16"
+    # Reverse asymmetry: cheap forward, accurate gradient IDFT.
+    assert _fused_precision("fused_am") is None
+    assert _fused_adj_precision("fused_am") == "kara_x3"
     assert (_fused_adj_precision("fused_mp")
             == _fused_precision("fused_mp"))
 

@@ -72,6 +72,15 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 #   'fused_hx' -- same asymmetry one tier up: forward/objective at the
 #                 fused_hp full-f32 tier, gradient IDFT single-pass
 #                 (24 -> 16 MXU passes per gradient evaluation).
+#   'fused_am' -- the REVERSE asymmetry: single-pass forward/objective
+#                 (fast-tier floor) with a bf16x3 gradient IDFT. Probed
+#                 the split-refinement regime, where the gradient-
+#                 DIFFERENCE terms (L-BFGS curvature pairs) see ~0.25%
+#                 tilt against ~0.7%/iter gradient change -- and was
+#                 REJECTED as the refinement default: iterations to
+#                 1e-6 dropped only 1048 -> 1024 (the tail is intrinsic
+#                 curvature, not gradient noise) while wall time rose
+#                 23.3 -> 28.6 s (BASELINE.md round 3). Kept selectable.
 #   'auto'     -- 'fused_mx' on TPU, 'xla' elsewhere. fused_mp DOMINATES
 #                 the single-pass tier over any full trajectory (round-2
 #                 A/B on the headline: 56.2 vs 41.5 iters/s full-window,
@@ -85,7 +94,7 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 #                 auto-selected when a shallow target_residual (> its
 #                 floor) is requested.
 _KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "fused_mx",
-            "fused_hx", "auto")
+            "fused_hx", "fused_am", "auto")
 
 
 # Practical relative-residual floors of the fused accuracy tiers on the
@@ -162,6 +171,8 @@ def _fused_adj_precision(kernel: str):
     as the forward precision" in the kernel wrappers' fallback chain."""
     if kernel in ("fused_mx", "fused_hx"):
         return "bf16"
+    if kernel == "fused_am":
+        return "kara_x3"
     return _fused_precision(kernel)
 
 
