@@ -76,7 +76,7 @@ def _ls_evals(metrics, opts, piter):
 # are counted at the f32:bf16 throughput ratio; fused_mx runs the
 # forward at the mp tier and the gradient IDFT at the single-pass tier.
 _MXU_PASSES = {"fused": (4, 4), "fused_mp": (9, 9), "fused_hp": (12, 12),
-               "fused_mx": (9, 4)}
+               "fused_mx": (9, 4), "fused_hx": (12, 4), "fused_am": (4, 9)}
 
 
 def _perf_model(g: Geometry, metrics, opts, dt, piter):

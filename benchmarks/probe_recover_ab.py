@@ -5,7 +5,8 @@ gaussian noise at 3% of its max amplitude, target 1e-6,
 ``reconstruct(recover_prb=True)``: joint recovery -> freeze -> split
 refinement with on-demand probe refreshes. Variants select the kernel
 of the joint escalation / refresh chains (the asymmetric 'fused_hx'
-default vs the symmetric 'fused_hp').
+vs the symmetric 'fused_hp' default — the A/B that REJECTED hx there,
+BASELINE.md round 3).
 
 Usage: python benchmarks/probe_recover_ab.py [variant ...]
 """
@@ -24,8 +25,8 @@ from tikejax.utils import cones, device_sync as sync, \
     sync_overhead_seconds, to_host
 
 VARIANTS = {
-    "jointhx": dict(),                          # default: joint='fused_hx'
-    "jointhp": dict(joint_kernel="fused_hp"),   # pre-round-3 behaviour
+    "jointhx": dict(joint_kernel="fused_hx"),   # measured & rejected
+    "jointhp": dict(joint_kernel="fused_hp"),   # the (kept) default
 }
 
 
@@ -62,11 +63,17 @@ def main():
         last = stages[-1][1]
         k = max(int(to_host(last["iters_run"])) - 1, 0)
         res = float(np.asarray(to_host(last["residual"]))[k])
-        dprb = float(to_host(jax.jit(
+        # Recovery QUALITY (distance to the true probe) and the distance
+        # moved from the perturbed start -- the first is the statistic
+        # that distinguishes variants.
+        err_true = float(to_host(jax.jit(
+            lambda a, b: jnp.max(jnp.abs(a - b)))(prb_rec, prb)))
+        moved = float(to_host(jax.jit(
             lambda a, b: jnp.max(jnp.abs(a - b)))(prb_rec, prb_p)))
         print(f"{name:>8s}: {dt:6.1f}s  {iters:5d} iters  "
               f"{len(stages):2d} stages  residual {res:.2e}  "
-              f"max|prb_rec-prb0| {dprb:.3f}", flush=True)
+              f"max|prb_rec-prb_true| {err_true:.4f}  "
+              f"moved {moved:.3f}", flush=True)
 
 
 if __name__ == "__main__":

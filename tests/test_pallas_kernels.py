@@ -297,8 +297,9 @@ def test_fused_mx_asymmetric_tier(rng):
         precision=_fused_precision("fused_mp"))
     assert float(f_mx) == float(f_mp)  # identical forward half
     scale = float(jnp.max(jnp.abs(g_mp)))
-    # Interpreter/CPU: DEFAULT precision is exact f32, so the tilt is 0;
-    # on MXU hardware it is the single-pass tier's ~2.5e-3. Bound both.
+    # The 'bf16' adjoint tag converts operands explicitly, so the tilt
+    # is real bf16 rounding (~1e-3) on EVERY backend, CPU interpreter
+    # included -- bound it at the single-pass tier's scale.
     assert float(jnp.max(jnp.abs(g_mx - g_mp))) < 5e-3 * scale
 
     p_mx, fp_mx = pallas_fused.grad_prb_fused(

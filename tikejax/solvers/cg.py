@@ -1388,7 +1388,7 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     counterpart; the multi-pass tiers use Karatsuba complex matmuls).
     ``kernel='auto'`` picks by ``target_residual`` when one is set
     (deep targets escalate the tier, shallow ones select the preview
-    tier) and 'fused_mp' otherwise; for time-to-deep-residual
+    tier) and 'fused_mx' otherwise; for time-to-deep-residual
     reconstruction prefer :func:`reconstruct`, which chains the tiers.
 
     Returns:

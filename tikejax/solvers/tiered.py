@@ -258,7 +258,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
             # fast floor stalls the split phase ~4e-3). Escalate the
             # JOINT recovery to the accurate tier before freezing.
             psi, prb, _ = _joint_chain(data, psi, scan, prb, g,
-                                       joint_opts, stages, base)
+                                       joint_opts, stages)
         options = dataclasses.replace(options, recover_prb=False)
     if target >= floor:
         return psi, prb, stages
@@ -363,7 +363,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                 budget -= 1
                 psi, prb, (r_reached, r_contr) = _joint_chain(
                     data, psi, scan, prb, g, joint_opts, stages,
-                    base, target=target)
+                    target=target)
                 if r_reached:
                     return psi, prb, stages
                 if r_contr > _FLOOR_CONTRACTION:
@@ -480,16 +480,18 @@ def _masked_state_flag(cg_state, took_mix):
         lambda x: jnp.where(took_mix, jnp.zeros_like(x), x), cg_state)
 
 
-def _joint_chain(data, psi, scan, prb, g, joint_opts, stages, base,
+def _joint_chain(data, psi, scan, prb, g, joint_opts, stages,
                  target=None, n=4):
     """Run n chained joint dispatches (async, no host round-trips
-    between them), appending each as a ':joint' stage. With ``target``,
-    returns (reached, contraction-across-the-chain) as the third
-    element (two scalar readbacks); else None."""
+    between them), appending each as a ':joint' stage (labelled with
+    the kernel the chain ACTUALLY runs -- joint_opts.kernel may differ
+    from the base tier via reconstruct's joint_kernel knob). With
+    ``target``, returns (reached, contraction-across-the-chain) as the
+    third element (two scalar readbacks); else None."""
     ms = []
     for _ in range(n):
         psi, prb, m = _cg.run(data, psi, scan, prb, g, joint_opts)
-        stages.append((base + ":joint", m))
+        stages.append((joint_opts.kernel + ":joint", m))
         ms.append(m)
     if target is None:
         return psi, prb, None
