@@ -133,3 +133,42 @@ def test_partition_roundtrip():
     halo = g.nprb - 1
     np.testing.assert_array_equal(slabs[0, :, owned:],
                                   slabs[1, :, :halo])
+
+
+@pytest.mark.parametrize("n_slabs,scan_shards", [(2, 4), (4, 2)])
+def test_tiled_composed_with_scan_sharding(n_slabs, scan_shards):
+    """P3 x P1 composition: a 2-D ('obj', 'scan') mesh shards each
+    slab's positions across the scan axis; the result must match the
+    single-device reconstruction (the CG core psums the object gradient
+    over 'scan' before the halo exchange over 'obj')."""
+    from tikejax.parallel import make_obj_scan_mesh
+
+    g, psi_true, scan, prb, data, psi0 = tiling_problem(n_slabs,
+                                                        rows_per=2,
+                                                        cols=7)
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=10)
+    mesh = make_obj_scan_mesh(n_slabs, scan_shards)
+    psi_t, _, m_t = run_tiled(data, psi0, scan, prb, g, mesh, piter=10)
+    assert psi_t.shape == g.psi_shape
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_t["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_1 - psi_t))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_1)))
+
+
+def test_tiled_composed_joint_fused():
+    """Composition under joint probe recovery + fused kernels: probe
+    gradients psum over BOTH mesh axes."""
+    from tikejax.parallel import make_obj_scan_mesh
+
+    g, psi_true, scan, prb, data, psi0 = tiling_problem(2, cols=7)
+    psi_1, prb_1, m_1 = run(data, psi0, scan, prb * 0.9, g, piter=6,
+                            recover_prb=True, kernel="fused")
+    mesh = make_obj_scan_mesh(2, 4)
+    psi_t, prb_t, m_t = run_tiled(data, psi0, scan, prb * 0.9, g, mesh,
+                                  piter=6, recover_prb=True,
+                                  kernel="fused")
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_t["minf"]), rtol=1e-3)
+    assert float(jnp.max(jnp.abs(prb_1 - prb_t))) < 2e-3 * float(
+        jnp.max(jnp.abs(prb_1)))

@@ -52,7 +52,25 @@ def make_obj_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("obj",))
 
 
-def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int):
+def make_obj_scan_mesh(n_slabs: int, scan_shards: int,
+                       devices=None) -> Mesh:
+    """2-D ('obj', 'scan') mesh composing object tiling (P3) with
+    position sharding (P1): ``n_slabs`` object slabs, each slab's
+    positions further sharded ``scan_shards`` ways. Uses the first
+    ``n_slabs * scan_shards`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_slabs * scan_shards
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices for a {n_slabs}x"
+                         f"{scan_shards} ('obj', 'scan') mesh, have "
+                         f"{len(devices)}")
+    return Mesh(np.asarray(devices[:need]).reshape(n_slabs, scan_shards),
+                ("obj", "scan"))
+
+
+def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int,
+                      scan_shards: int = 1):
     """Host-side owner partition of a tiling problem.
 
     Returns ``(psi_slabs, scan_loc, data_p, owned)`` where
@@ -62,7 +80,10 @@ def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int):
     positions sorted by owner -- padded per (slab, theta) to the global
     maximum owner count ``s_max`` with sentinel dummies (y = -1, masked
     to zero contribution by every kernel) -- and ``data_p`` the matching
-    frames (zero for dummies).
+    frames (zero for dummies). With ``scan_shards > 1`` (the
+    ('obj', 'scan') composed mesh), ``s_max`` is additionally rounded
+    up to a multiple of the scan-shard count so the position axis
+    splits evenly across the scan mesh axis.
 
     Raises ValueError when object rows don't split equally or positions
     are out of bounds.
@@ -95,6 +116,7 @@ def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int):
     # contribution by the operator-level mask (ops.patches docstring).
     counts = np.stack([(owner == d).sum(axis=1) for d in range(D)])
     s_loc = int(counts.max())
+    s_loc = -(-max(s_loc, 1) // scan_shards) * scan_shards
     scan_loc = np.full((D, g.ntheta, s_loc, 2), -1.0, np.float32)
     scan_loc[..., 1] = 0.0
     data_p = np.zeros((D, g.ntheta, s_loc, g.ndet, g.ndet), np.float32)
@@ -123,17 +145,29 @@ def stitch(psi_slabs, owned: int):
 
 def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
               options: _cg.CGOptions | None = None, **kw):
-    """Object-tiled CG reconstruction (SURVEY.md SS5 P3).
+    """Object-tiled CG reconstruction (SURVEY.md SS5 P3), optionally
+    composed with position sharding (P1) on a 2-D mesh.
 
     Semantics match :func:`tikejax.solvers.run` exactly (up to float
     summation order): the object rows and the scan positions are
     partitioned over the mesh's 'obj' axis, the full object never lives
     on one device, and the result is stitched back for the caller.
 
+    With a 2-D ('obj', 'scan') mesh (:func:`make_obj_scan_mesh`), each
+    slab's position list is additionally sharded over the 'scan' axis:
+    the slab object (+halo) is replicated within its slab's scan group,
+    the object gradient is psum-ed over 'scan' before the halo
+    exchange over 'obj', and all scalar statistics psum over both axes
+    -- the composed configuration for objects that outgrow one chip's
+    HBM at position counts that outgrow one chip's compute. The CG core
+    composes the two axes natively (cg._scalar_axes / _grad_prb_axes /
+    _halo_fix); this wrapper only lays out the data.
+
     Args:
       data / psi0 / scan / prb0: FULL problem arrays (host or device);
         partitioning happens here.
-      mesh: 1-D mesh whose axis tiles the object (make_obj_mesh).
+      mesh: 1-D ('obj',) mesh (make_obj_mesh) or 2-D ('obj', 'scan')
+        mesh (make_obj_scan_mesh).
 
     Returns:
       (psi, prb, metrics) with psi the stitched (ntheta, nz, n) object.
@@ -145,30 +179,47 @@ def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
     options = _cg.normalize_options(options)
     g = geometry
     axis = mesh.axis_names[0]
+    if axis != "obj":
+        raise ValueError("run_tiled expects the first mesh axis to tile "
+                         f"the object; got axes {mesh.axis_names}")
+    scan_axis = None
+    if len(mesh.axis_names) > 1:
+        if len(mesh.axis_names) != 2:
+            raise ValueError("run_tiled supports 1-D ('obj',) or 2-D "
+                             f"('obj', <scan>) meshes; got "
+                             f"{mesh.axis_names}")
+        scan_axis = mesh.axis_names[1]
     D = mesh.shape[axis]
+    S = mesh.shape[scan_axis] if scan_axis else 1
     psi_slabs, scan_loc, data_p, owned = partition_problem(
-        psi0, scan, data, g, D)
+        psi0, scan, data, g, D, scan_shards=S)
     halo = g.nprb - 1
 
     g_local = dataclasses.replace(g, nz=owned + halo,
-                                  nscan=scan_loc.shape[2])
+                                  nscan=scan_loc.shape[2] // S)
     opts = dataclasses.replace(options, obj_axis_name=axis,
-                               obj_halo=halo, obj_axis_size=D)
+                               obj_halo=halo, obj_axis_size=D,
+                               axis_name=scan_axis)
 
-    spec = NamedSharding(mesh, P(axis))
-    psi_slabs = jax.device_put(jnp.asarray(psi_slabs), spec)
-    scan_loc = jax.device_put(jnp.asarray(scan_loc), spec)
-    data_p = jax.device_put(jnp.asarray(data_p), spec)
+    # Position-carrying arrays shard over BOTH axes (slab dim 0, local
+    # position dim 2); the slab objects replicate within a scan group.
+    pos_spec = (NamedSharding(mesh, P(axis, None, scan_axis))
+                if scan_axis else NamedSharding(mesh, P(axis)))
+    psi_slabs = jax.device_put(jnp.asarray(psi_slabs),
+                               NamedSharding(mesh, P(axis)))
+    scan_loc = jax.device_put(jnp.asarray(scan_loc), pos_spec)
+    data_p = jax.device_put(jnp.asarray(data_p), pos_spec)
 
     def body(data_l, psi_l, scan_l, prb_l):
         psi, prb, metrics = _cg.run_impl(g_local, opts, data_l[0],
                                          psi_l[0], scan_l[0], prb_l)
         return psi[None], prb, metrics
 
+    in_pos = P(axis, None, scan_axis) if scan_axis else P(axis)
     def sharded(check_vma):
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P()),
+            in_specs=(in_pos, P(axis), in_pos, P()),
             out_specs=(P(axis), P(), P()),
             check_vma=check_vma,
         )
