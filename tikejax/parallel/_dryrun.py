@@ -92,6 +92,19 @@ def run_dryrun(n_devices: int) -> None:
         assert psi_t.shape == g3.psi_shape
         assert bool(jnp.isfinite(m3["minf"][0]))
 
+    if n_devices >= 4:
+        # P3 x P1 composition: one step on a 2-D ('obj', 'scan') mesh
+        # (slab gradient psum over 'scan' before the halo exchange).
+        from tikejax.parallel import make_obj_scan_mesh
+
+        mesh_c = make_obj_scan_mesh(2, n_devices // 2 if n_devices < 8
+                                    else 4)
+        psi_c, _, mc = run_tiled(data3, cones(g3.psi_shape), scan3, prb3,
+                                 g3, mesh_c, piter=1)
+        jax.block_until_ready((psi_c, mc))
+        assert psi_c.shape == g3.psi_shape
+        assert bool(jnp.isfinite(mc["minf"][0]))
+
 
 def main(n_devices: int) -> None:
     """Subprocess entry: pin the CPU platform, then run the dry run."""
