@@ -172,3 +172,21 @@ def test_tiled_composed_joint_fused():
                                np.asarray(m_t["minf"]), rtol=1e-3)
     assert float(jnp.max(jnp.abs(prb_1 - prb_t))) < 2e-3 * float(
         jnp.max(jnp.abs(prb_1)))
+
+
+def test_tiled_full_three_axis_mesh():
+    """P2 x P3 x P1: a 3-D ('theta', 'obj', 'scan') mesh shards angles,
+    object slabs, and positions simultaneously -- every parallel axis
+    the framework offers, composed in one program."""
+    from tikejax.parallel import make_full_mesh
+
+    g, psi_true, scan, prb, data, psi0 = tiling_problem(2, cols=7,
+                                                        ntheta=2)
+    psi_1, _, m_1 = run(data, psi0, scan, prb, g, piter=8)
+    mesh = make_full_mesh(2, 2, 2)
+    psi_t, _, m_t = run_tiled(data, psi0, scan, prb, g, mesh, piter=8)
+    assert psi_t.shape == g.psi_shape
+    np.testing.assert_allclose(np.asarray(m_1["minf"]),
+                               np.asarray(m_t["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_1 - psi_t))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_1)))

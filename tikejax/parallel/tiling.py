@@ -69,6 +69,23 @@ def make_obj_scan_mesh(n_slabs: int, scan_shards: int,
                 ("obj", "scan"))
 
 
+def make_full_mesh(theta_shards: int, n_slabs: int, scan_shards: int,
+                   devices=None) -> Mesh:
+    """3-D ('theta', 'obj', 'scan') mesh composing ALL parallel axes:
+    P2 angle sharding x P3 object tiling x P1 position sharding."""
+    if devices is None:
+        devices = jax.devices()
+    need = theta_shards * n_slabs * scan_shards
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices for a {theta_shards}x"
+                         f"{n_slabs}x{scan_shards} ('theta', 'obj', "
+                         f"'scan') mesh, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:need]).reshape(theta_shards, n_slabs,
+                                           scan_shards),
+        ("theta", "obj", "scan"))
+
+
 def partition_problem(psi0, scan, data, geometry: Geometry, n_slabs: int,
                       scan_shards: int = 1):
     """Host-side owner partition of a tiling problem.
@@ -178,49 +195,60 @@ def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
         options = dataclasses.replace(options, **kw)
     options = _cg.normalize_options(options)
     g = geometry
-    axis = mesh.axis_names[0]
-    if axis != "obj":
-        raise ValueError("run_tiled expects the first mesh axis to tile "
-                         f"the object; got axes {mesh.axis_names}")
-    scan_axis = None
-    if len(mesh.axis_names) > 1:
-        if len(mesh.axis_names) != 2:
-            raise ValueError("run_tiled supports 1-D ('obj',) or 2-D "
-                             f"('obj', <scan>) meshes; got "
-                             f"{mesh.axis_names}")
-        scan_axis = mesh.axis_names[1]
+    names = mesh.axis_names
+    if "obj" not in names:
+        raise ValueError("run_tiled expects a mesh with an 'obj' axis; "
+                         f"got axes {names}")
+    axis = "obj"
+    theta_axis = "theta" if "theta" in names else None
+    others = [a for a in names if a not in ("obj", "theta")]
+    if len(others) > 1:
+        raise ValueError("run_tiled supports ('obj',), ('obj', <scan>) "
+                         "and ('theta', 'obj', <scan>) meshes; got "
+                         f"{names}")
+    scan_axis = others[0] if others else None
     D = mesh.shape[axis]
     S = mesh.shape[scan_axis] if scan_axis else 1
+    T = mesh.shape[theta_axis] if theta_axis else 1
+    if g.ntheta % T != 0:
+        raise ValueError(f"ntheta ({g.ntheta}) must divide by the theta "
+                         f"mesh axis ({T})")
     psi_slabs, scan_loc, data_p, owned = partition_problem(
         psi0, scan, data, g, D, scan_shards=S)
     halo = g.nprb - 1
 
-    g_local = dataclasses.replace(g, nz=owned + halo,
+    g_local = dataclasses.replace(g, nz=owned + halo, ntheta=g.ntheta // T,
                                   nscan=scan_loc.shape[2] // S)
     opts = dataclasses.replace(options, obj_axis_name=axis,
                                obj_halo=halo, obj_axis_size=D,
-                               axis_name=scan_axis)
+                               axis_name=scan_axis,
+                               theta_axis_name=theta_axis)
 
-    # Position-carrying arrays shard over BOTH axes (slab dim 0, local
-    # position dim 2); the slab objects replicate within a scan group.
-    pos_spec = (NamedSharding(mesh, P(axis, None, scan_axis))
-                if scan_axis else NamedSharding(mesh, P(axis)))
+    # Position-carrying arrays shard over slab (dim 0), theta (dim 1)
+    # and local-position (dim 2) axes; the slab objects replicate
+    # within a scan group; the probe shards over theta only (P2
+    # semantics: per-angle probe, no collective).
+    pos_P = P(axis, theta_axis, scan_axis)
+    psi_P = P(axis, theta_axis)
     psi_slabs = jax.device_put(jnp.asarray(psi_slabs),
-                               NamedSharding(mesh, P(axis)))
-    scan_loc = jax.device_put(jnp.asarray(scan_loc), pos_spec)
-    data_p = jax.device_put(jnp.asarray(data_p), pos_spec)
+                               NamedSharding(mesh, psi_P))
+    scan_loc = jax.device_put(jnp.asarray(scan_loc),
+                              NamedSharding(mesh, pos_P))
+    data_p = jax.device_put(jnp.asarray(data_p),
+                            NamedSharding(mesh, pos_P))
+    prb0 = jax.device_put(jnp.asarray(prb0),
+                          NamedSharding(mesh, P(theta_axis)))
 
     def body(data_l, psi_l, scan_l, prb_l):
         psi, prb, metrics = _cg.run_impl(g_local, opts, data_l[0],
                                          psi_l[0], scan_l[0], prb_l)
         return psi[None], prb, metrics
 
-    in_pos = P(axis, None, scan_axis) if scan_axis else P(axis)
     def sharded(check_vma):
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(in_pos, P(axis), in_pos, P()),
-            out_specs=(P(axis), P(), P()),
+            in_specs=(pos_P, psi_P, pos_P, P(theta_axis)),
+            out_specs=(psi_P, P(theta_axis), P()),
             check_vma=check_vma,
         )
 
