@@ -342,3 +342,79 @@ def test_auto_kernel_cpu_backend():
     assert diffraction.resolve_kernel_for_target("auto", 1e-6) == "xla"
     o = normalize_options(CGOptions(kernel="auto", target_residual=1e-6))
     assert o.kernel == "xla"
+
+
+def test_reconstruct_on_scan_mesh():
+    """The deep driver composes with a 1-D position-sharding mesh:
+    every stage (fast tier, split segments with carry + frozen base,
+    Anderson safeguard) runs through parallel.run_sharded; nscan is
+    sentinel-padded to the mesh axis. Must reach the target like the
+    single-device driver."""
+    from tikejax.models import (make_object, make_probe,
+                                simulate_intensities)
+    from tikejax.parallel import make_mesh
+
+    g = Geometry(nz=96, n=96, nscan=67, ndet=32, nprb=24)  # 67 % 4 != 0
+    rng = np.random.default_rng(1)
+    scan = jnp.asarray(np.stack(
+        [rng.uniform(0, g.nz - g.nprb, g.nscan),
+         rng.uniform(0, g.n - g.nprb, g.nscan)], -1,
+        dtype=np.float32))[None]
+    psi_true = make_object(jax.random.PRNGKey(0), 1, g.nz, g.n,
+                           jnp.complex64)
+    prb = make_probe(1, 1, g.nprb, jnp.complex64)
+    data = simulate_intensities(psi_true, scan, prb, g.ndet)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+
+    target = 2e-5
+    psi_1, _, st1 = reconstruct(data, psi0, scan, prb, g,
+                                target_residual=target)
+    psi_m, _, stm = reconstruct(data, psi0, scan, prb, g,
+                                target_residual=target,
+                                mesh=make_mesh(4))
+
+    def final_res(st):
+        m = st[-1][1]
+        k = max(int(m["iters_run"]) - 1, 0)
+        return float(np.asarray(m["residual"])[k])
+
+    assert final_res(stm) <= target
+    # Independent float summation orders: the two converged iterates
+    # agree loosely, not bitwise.
+    err = float(jnp.max(jnp.abs(psi_m - psi_1))
+                / jnp.max(jnp.abs(psi_1)))
+    assert err < 2e-2
+    with pytest.raises(ValueError, match="1-D"):
+        reconstruct(data, psi0, scan, prb, g, target_residual=target,
+                    mesh=make_mesh((2, 2)))
+
+
+def test_reconstruct_on_mesh_recover_prb():
+    """Sharded deep driver with joint probe recovery: the joint chains
+    and probe refreshes run through run_sharded too."""
+    from tikejax.models import (make_object, make_probe,
+                                simulate_intensities)
+    from tikejax.parallel import make_mesh
+
+    g = Geometry(nz=64, n=64, nscan=36, ndet=24, nprb=16)
+    rng = np.random.default_rng(2)
+    scan = jnp.asarray(np.stack(
+        [rng.uniform(0, g.nz - g.nprb, g.nscan),
+         rng.uniform(0, g.n - g.nprb, g.nscan)], -1,
+        dtype=np.float32))[None]
+    psi_true = make_object(jax.random.PRNGKey(3), 1, g.nz, g.n,
+                           jnp.complex64)
+    prb = make_probe(1, 1, g.nprb, jnp.complex64)
+    data = simulate_intensities(psi_true, scan, prb, g.ndet)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+
+    psi_m, prb_m, stm = reconstruct(data, psi0, scan, prb * 1.05, g,
+                                    target_residual=1e-4,
+                                    recover_prb=True, max_segments=12,
+                                    mesh=make_mesh(4))
+    names = [n for n, _ in stm]
+    assert names[0].endswith(":joint")
+    m = stm[-1][1]
+    k = max(int(m["iters_run"]) - 1, 0)
+    res = np.asarray(m["residual"])
+    assert res[k] < res[0] or len(stm) > 1  # descended across stages

@@ -104,8 +104,55 @@ def shard_problem(mesh: Mesh, data, scan, axis: str | None = None):
     return data, scan
 
 
+def pad_scan_problem(data, scan, geometry: Geometry, nsh: int):
+    """Pad the scan axis to a multiple of ``nsh`` with sentinel dummy
+    positions (scan row -1, zero data; see ops.patches) so every mesh
+    shard gets an equal static slice. Returns (data, scan, geometry) --
+    unchanged when ``nscan`` already divides."""
+    if geometry.nscan % nsh == 0:
+        return data, scan, geometry
+    import jax.numpy as jnp
+
+    s_pad = -(-geometry.nscan // nsh) * nsh
+    extra = s_pad - geometry.nscan
+    pad_scan = jnp.zeros((scan.shape[0], extra, 2), scan.dtype).at[
+        ..., 0].set(-1)
+    scan = jnp.concatenate([jnp.asarray(scan), pad_scan], axis=1)
+    pad_data = jnp.zeros(data.shape[:1] + (extra,) + data.shape[2:],
+                         data.dtype)
+    data = jnp.concatenate([jnp.asarray(data), pad_data], axis=1)
+    return data, scan, dataclasses.replace(geometry, nscan=s_pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_sharded_fn(mesh: Mesh, ndet: int, kernel: str):
+    theta_ax, scan_ax = _axes(mesh)
+    from tikejax.ops import diffraction
+
+    def body(psi_l, scan_l, prb_l):
+        return diffraction.fwd_raw(psi_l, scan_l, prb_l, ndet, kernel)
+
+    def sharded(check_vma):
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(theta_ax), P(theta_ax, scan_ax), P(theta_ax)),
+            out_specs=P(theta_ax, scan_ax), check_vma=check_vma)
+
+    return sharded
+
+
+def fwd_sharded(psi, scan, prb, ndet: int, kernel: str, mesh: Mesh):
+    """Position-sharded forward diffraction: scan sharded over the mesh,
+    psi/prb replicated (or theta-sharded on 2-D meshes); the returned
+    farplane stays sharded over the scan axis. Used by the deep driver
+    to freeze split-operator base farplanes on a mesh."""
+    return _call_checked(_fwd_sharded_fn(mesh, ndet, kernel),
+                         psi, scan, prb)
+
+
 def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
-                mesh: Mesh, options: _cg.CGOptions | None = None, **kw):
+                mesh: Mesh, options: _cg.CGOptions | None = None,
+                f_base=None, cg_init=None, **kw):
     """Position-sharded CG reconstruction (BASELINE.json:11).
 
     Semantics are identical to :func:`tikejax.solvers.run` (up to float
@@ -120,6 +167,13 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
         axis size -- the tail shard is padded with sentinel-masked dummy
         positions (scan row -1, zero data; see ops.patches), which every
         kernel treats as contributing exactly zero.
+      f_base: frozen base farplane for split-operator refinement
+        (cg.run's ``f_base``), sharded like the data (the scan axis must
+        already be a multiple of the mesh axis -- pre-pad with
+        :func:`pad_scan_problem` when composing with the deep driver).
+      cg_init: carried CG state tuple (cg.run's ``cg_init``); the
+        object-domain entries are replicated (1-D meshes) or sharded
+        per-angle (2-D meshes).
 
     Returns:
       (psi, prb, metrics) -- psi/prb replicated (1-D mesh) or sharded
@@ -133,19 +187,12 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
     theta_ax, scan_ax = _axes(mesh)
     nsh = mesh.shape[scan_ax]
     if geometry.nscan % nsh != 0:
-        # Pad the scan axis to a multiple of the mesh axis with sentinel
-        # dummies so every device gets an equal static shard.
-        import jax.numpy as jnp
-
-        s_pad = -(-geometry.nscan // nsh) * nsh
-        extra = s_pad - geometry.nscan
-        pad_scan = jnp.zeros((scan.shape[0], extra, 2), scan.dtype).at[
-            ..., 0].set(-1)
-        scan = jnp.concatenate([jnp.asarray(scan), pad_scan], axis=1)
-        pad_data = jnp.zeros(data.shape[:1] + (extra,) + data.shape[2:],
-                             data.dtype)
-        data = jnp.concatenate([jnp.asarray(data), pad_data], axis=1)
-        geometry = dataclasses.replace(geometry, nscan=s_pad)
+        if f_base is not None:
+            raise ValueError(
+                "f_base must match a pre-padded scan axis (a multiple "
+                f"of the mesh axis {nsh}); pad with pad_scan_problem "
+                "and compute the base farplane on the padded problem")
+        data, scan, geometry = pad_scan_problem(data, scan, geometry, nsh)
     # Inside shard_map every device sees its local slice of the sharded
     # axes.
     g_local = dataclasses.replace(geometry, nscan=geometry.nscan // nsh)
@@ -159,16 +206,38 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
                                       ntheta=geometry.ntheta // tsh)
     options = dataclasses.replace(options, axis_name=scan_ax,
                                   theta_axis_name=theta_ax)
+    if options.carry_state and theta_ax is not None:
+        raise ValueError("carry_state composes with 1-D scan meshes "
+                         "only: the carried cg_state rides in the "
+                         "replicated metrics, but under a theta mesh "
+                         "its object-domain entries are per-angle")
 
-    body = functools.partial(_cg.run_impl, g_local, options)
+    has_fb, has_ci = f_base is not None, cg_init is not None
+    args = [data, psi0, scan, prb0]
+    in_specs = [P(theta_ax, scan_ax), P(theta_ax),
+                P(theta_ax, scan_ax), P(theta_ax)]
+    if has_fb:
+        args.append(f_base)
+        in_specs.append(P(theta_ax, scan_ax))
+    if has_ci:
+        args.append(tuple(cg_init))
+        in_specs.append((P(theta_ax), P(theta_ax), P(), P()))
+
+    def body(*a):
+        d, p, s, pr = a[:4]
+        i = 4
+        fb = None
+        if has_fb:
+            fb, i = a[i], i + 1
+        ci = a[i] if has_ci else None
+        return _cg.run_impl(g_local, options, d, p, s, pr, fb, ci)
 
     def sharded(check_vma):
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(theta_ax, scan_ax), P(theta_ax),
-                      P(theta_ax, scan_ax), P(theta_ax)),
+            in_specs=tuple(in_specs),
             out_specs=(P(theta_ax), P(theta_ax), P()),
             check_vma=check_vma,
         )
 
-    return _call_checked(sharded, data, psi0, scan, prb0)
+    return _call_checked(sharded, *args)

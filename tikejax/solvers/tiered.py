@@ -26,7 +26,6 @@ segments read back one int32 (iters_run) to decide termination.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +62,7 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                 segment_carry: bool = True,
                 floor_patience: int = 3,
                 accelerate: str | None = "anderson",
+                mesh=None,
                 options: _cg.CGOptions | None = None, **kw):
     """Reconstruct to a target relative residual.
 
@@ -115,6 +115,16 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         timing mode; at the 3e-7 deep grind 107.6 s / 3683 iters /
         3.08e-7 vs 118.9 s / 3856 / 3.26e-7 (BASELINE.md round 3).
         Ignored by method='tiers' (no outer iterate sequence to mix).
+      mesh: optional 1-D position-sharding mesh
+        (tikejax.parallel.make_mesh): every stage -- tier runs, split
+        segments (with CG carry and the frozen base farplane), the
+        Anderson safeguard, and the joint probe chains -- executes
+        sharded over the scan axis via tikejax.parallel.run_sharded,
+        with the base farplane frozen by a sharded forward and kept
+        sharded end-to-end. The scan axis is sentinel-padded once up
+        front to a multiple of the mesh axis. Theta-sharded (2-D)
+        meshes are not supported here (the carried cg_state rides in
+        the replicated metrics).
       floor_patience: stop after this many CONSECUTIVE refinement
         segments that each contracted the residual by less than 0.5%
         (the solver is pinned at the base kernel's operator floor or
@@ -171,12 +181,25 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         if _parse_anderson_depth(accelerate) is None:
             raise ValueError(f"unknown accelerate {accelerate!r}; use "
                              "None, 'anderson', or 'anderson:<depth>'")
+    if mesh is not None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError("reconstruct composes with 1-D position-"
+                             f"sharding meshes only; got axes "
+                             f"{mesh.axis_names} (run theta sharding "
+                             "via tikejax.parallel.run_sharded "
+                             "directly)")
+        from tikejax.parallel.sharding import (pad_scan_problem,
+                                               shard_problem)
+        data, scan, geometry = pad_scan_problem(
+            data, scan, geometry, mesh.shape[mesh.axis_names[0]])
+        data, scan = shard_problem(mesh, data, scan)
+    run_fn = _make_run_fn(mesh)
     if method == "split":
         return _reconstruct_split(data, psi0, scan, prb0, geometry,
                                   target_residual, segment, max_segments,
                                   base_kernel, fast_kernel, options, tiers,
                                   segment_carry, floor_patience, accelerate,
-                                  joint_kernel)
+                                  joint_kernel, mesh)
 
     psi, prb = psi0, prb0
     stages = []
@@ -196,8 +219,8 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
                 # First tier from the flat start stays Dai-Yuan (see
                 # the basin note in _reconstruct_split).
                 direction="dy" if tier_i == 0 else options.direction)
-            psi, prb, metrics = _cg.run(data, psi, scan, prb, geometry,
-                                        tier_opts)
+            psi, prb, metrics = run_fn(data, psi, scan, prb, geometry,
+                                       tier_opts)
             stages.append((kernel, metrics))
             remaining -= seg
         if floor <= target_residual:
@@ -205,15 +228,45 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
     return psi, prb, stages
 
 
+def _make_run_fn(mesh):
+    """CG-stage runner: plain single-device cg.run, or run_sharded bound
+    to the mesh (identical call signature incl. f_base / cg_init)."""
+    if mesh is None:
+        return _cg.run
+
+    from tikejax.parallel.sharding import run_sharded
+
+    def run_fn(data, psi0, scan, prb0, geometry, options,
+               f_base=None, cg_init=None):
+        return run_sharded(data, psi0, scan, prb0, geometry, mesh,
+                           options, f_base=f_base, cg_init=cg_init)
+
+    return run_fn
+
+
 def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                        max_segments, base_kernel, fast_kernel, options,
                        tiers, segment_carry=True, floor_patience=3,
-                       accelerate=None, joint_kernel=None):
-    """Fast tier to its floor, then split-operator refinement segments."""
+                       accelerate=None, joint_kernel=None, mesh=None):
+    """Fast tier to its floor, then split-operator refinement segments.
+
+    With ``mesh`` (1-D scan mesh; data/scan arrive pre-padded and
+    sharded from :func:`reconstruct`), every stage runs through
+    parallel.run_sharded and the base farplane is frozen by a sharded
+    forward -- it stays sharded over the scan axis end-to-end."""
     on_tpu = jax.default_backend() == "tpu"
     fast = fast_kernel or ("fused" if on_tpu else "xla")
     base = base_kernel or ("fused_hp" if on_tpu else "xla")
     joint_kern = joint_kernel or base
+    run_fn = _make_run_fn(mesh)
+    if mesh is None:
+        def fwd_base(psi_, scan_, prb_):
+            return _fwd_jit(psi_, scan_, prb_, g.ndet, base)
+    else:
+        from tikejax.parallel.sharding import fwd_sharded
+
+        def fwd_base(psi_, scan_, prb_):
+            return fwd_sharded(psi_, scan_, prb_, g.ndet, base, mesh)
     floor = tiers[0][1] if tiers else diffraction.FUSED_RESIDUAL_FLOOR
     stages = []
 
@@ -236,7 +289,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     opts1 = dataclasses.replace(options, kernel=fast, direction="dy",
                                 piter=tiers[0][2] if tiers else 256,
                                 target_residual=max(target, floor))
-    psi, prb, m = _cg.run(data, psi0, scan, prb, g, opts1)
+    psi, prb, m = run_fn(data, psi0, scan, prb, g, opts1)
     stages.append((fast + (":joint" if options.recover_prb else ""), m))
     recover = options.recover_prb
     # Joint escalation/refresh segments run 512 accurate-tier joint
@@ -258,7 +311,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
             # fast floor stalls the split phase ~4e-3). Escalate the
             # JOINT recovery to the accurate tier before freezing.
             psi, prb, _ = _joint_chain(data, psi, scan, prb, g,
-                                       joint_opts, stages)
+                                       joint_opts, stages, run_fn)
         options = dataclasses.replace(options, recover_prb=False)
     if target >= floor:
         return psi, prb, stages
@@ -302,11 +355,11 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     while budget > 0:
         budget -= 1
         f_base = (f_next if f_next is not None
-                  else _fwd_jit(psi, scan, prb, g.ndet, base))
+                  else fwd_base(psi, scan, prb))
         f_next = None
         delta0 = hostio.czeros(g.psi_shape, psi.dtype)
-        delta, _, m = _cg.run(data, delta0, scan, prb, g, opts2,
-                              f_base=f_base, cg_init=state)
+        delta, _, m = run_fn(data, delta0, scan, prb, g, opts2,
+                             f_base=f_base, cg_init=state)
         psi = add(psi, delta)
         stages.append((f"split:{fast}", m))
         if segment_carry:
@@ -320,7 +373,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
             if len(aa_hist) >= 2:
                 psi, took, f_next = _anderson_step(
                     [p for p, _ in aa_hist], [d for _, d in aa_hist],
-                    data, scan, prb, g.ndet, base)
+                    data, scan, prb, fwd_base)
                 if segment_carry:
                     # A taken mix moves psi off the carried trajectory;
                     # zero the state on device (fresh restart) there.
@@ -362,7 +415,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                 refreshes -= 1
                 budget -= 1
                 psi, prb, (r_reached, r_contr) = _joint_chain(
-                    data, psi, scan, prb, g, joint_opts, stages,
+                    data, psi, scan, prb, g, joint_opts, stages, run_fn,
                     target=target)
                 if r_reached:
                     return psi, prb, stages
@@ -432,8 +485,7 @@ def _parse_anderson_depth(accelerate: str):
     return None
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def _anderson_step(psis, deltas, data, scan, prb, ndet, kernel):
+def _anderson_step(psis, deltas, data, scan, prb, fwd_base):
     """One safeguarded Anderson mixing step over segment outputs.
 
     ``psis``/``deltas`` are the last m ≤ _AA_DEPTH segment outputs
@@ -441,35 +493,45 @@ def _anderson_step(psis, deltas, data, scan, prb, ndet, kernel):
     constrained least squares min ‖Σ α_j r_j‖, Σ α_j = 1 on the real
     Gram matrix (Tikhonov-regularized), forms x_mix = Σ α_j G(x_j),
     then evaluates BOTH candidates' gaussian amplitude residuals with
-    the accurate ``kernel`` and returns (chosen iterate, took-mix
-    flag, chosen farplane) — all on device (the caller's control flow
-    never reads any of it back; the farplane is reused as the next
-    segment's base re-freeze). The gaussian-scale residual is used as the
-    safeguard statistic for any likelihood model (it is a selection
-    heuristic, not the objective).
+    the accurate base forward ``fwd_base`` (plain jitted single-device,
+    or shard_map-backed under a mesh -- the farplanes and the residual
+    reductions then stay sharded; the selection scalar is global) and
+    returns (chosen iterate, took-mix flag, chosen farplane) — all on
+    device (the caller's control flow never reads any of it back; the
+    farplane is reused as the next segment's base re-freeze). The
+    gaussian-scale residual is used as the safeguard statistic for any
+    likelihood model (it is a selection heuristic, not the objective).
     """
+    psi_mix = _anderson_mix(tuple(psis), tuple(deltas))
+    psi_plain = psis[-1]
+    f_mix = fwd_base(psi_mix, scan, prb)
+    f_plain = fwd_base(psi_plain, scan, prb)
+    # The chosen candidate's farplane IS the next segment's base
+    # re-freeze (same kernel, same psi) — returning it saves one
+    # accurate-tier forward per mixed segment.
+    return _anderson_select(psi_mix, psi_plain, f_mix, f_plain, data)
+
+
+@jax.jit
+def _anderson_mix(psis, deltas):
     m = len(deltas)
     R = jnp.stack([d.ravel() for d in deltas])           # (m, N) complex
     G = jnp.real(R @ jnp.conj(R).T)
     Greg = G + (1e-7 * jnp.trace(G) / m + 1e-30) * jnp.eye(m, dtype=G.dtype)
     alpha = jnp.linalg.solve(Greg, jnp.ones((m,), G.dtype))
     alpha = alpha / jnp.sum(alpha)
-    psi_mix = jnp.einsum("i,i...->...", alpha, jnp.stack(psis))
-    psi_plain = psis[-1]
+    return jnp.einsum("i,i...->...", alpha, jnp.stack(psis))
 
+
+@jax.jit
+def _anderson_select(psi_mix, psi_plain, f_mix, f_plain, data):
     sum_d = jnp.sum(jnp.maximum(data, 0.0))
 
-    def res(p):
-        f = diffraction.fwd_raw(p, scan, prb, ndet, kernel)
-        return f, jnp.sqrt(jnp.maximum(
+    def res(f):
+        return jnp.sqrt(jnp.maximum(
             likelihoods.gaussian_minf(f, data), 0.0) / sum_d)
 
-    f_mix, r_mix = res(psi_mix)
-    f_plain, r_plain = res(psi_plain)
-    take = r_mix < r_plain
-    # The chosen candidate's farplane IS the next segment's base
-    # re-freeze (same kernel, same psi) — returning it saves one
-    # accurate-tier forward per mixed segment.
+    take = res(f_mix) < res(f_plain)
     return (jnp.where(take, psi_mix, psi_plain), take,
             jnp.where(take, f_mix, f_plain))
 
@@ -480,7 +542,7 @@ def _masked_state_flag(cg_state, took_mix):
         lambda x: jnp.where(took_mix, jnp.zeros_like(x), x), cg_state)
 
 
-def _joint_chain(data, psi, scan, prb, g, joint_opts, stages,
+def _joint_chain(data, psi, scan, prb, g, joint_opts, stages, run_fn,
                  target=None, n=4):
     """Run n chained joint dispatches (async, no host round-trips
     between them), appending each as a ':joint' stage (labelled with
@@ -490,7 +552,7 @@ def _joint_chain(data, psi, scan, prb, g, joint_opts, stages,
     third element (two scalar readbacks); else None."""
     ms = []
     for _ in range(n):
-        psi, prb, m = _cg.run(data, psi, scan, prb, g, joint_opts)
+        psi, prb, m = run_fn(data, psi, scan, prb, g, joint_opts)
         stages.append((joint_opts.kernel + ":joint", m))
         ms.append(m)
     if target is None:
