@@ -166,3 +166,29 @@ def test_sharded_indivisible_nscan_pads(problem):
     psi_n, _, m_n = run_sharded(data, psi0, scan, prb, g, mesh, piter=8)
     np.testing.assert_allclose(np.asarray(m_1["minf"]),
                                np.asarray(m_n["minf"]), rtol=2e-4)
+
+
+def test_pad_scan_problem_and_fwd_sharded():
+    """pad_scan_problem appends sentinel positions + zero frames so the
+    scan axis divides the mesh; fwd_sharded matches the single-device
+    forward on the real positions and emits zero frames for sentinels."""
+    import numpy as np
+
+    from tikejax.models import make_problem
+    from tikejax.ops.diffraction import fwd_raw
+    from tikejax.parallel import make_mesh
+    from tikejax.parallel.sharding import fwd_sharded, pad_scan_problem
+
+    g = Geometry(nz=64, n=64, nscan=10, ndet=16, nprb=16)
+    psi, scan, prb, data = make_problem(jax.random.PRNGKey(0), g)
+    d2, s2, g2 = pad_scan_problem(data, scan, g, 4)
+    assert g2.nscan == 12 and s2.shape[1] == 12 and d2.shape[1] == 12
+    assert np.all(np.asarray(s2)[:, 10:, 0] == -1)
+    assert np.all(np.asarray(d2)[:, 10:] == 0)
+
+    mesh = make_mesh(4)
+    f_sh = fwd_sharded(psi, s2, prb, g.ndet, "xla", mesh)
+    f_ref = fwd_raw(psi, scan, prb, g.ndet, "xla")
+    np.testing.assert_allclose(np.asarray(f_sh[:, :10]),
+                               np.asarray(f_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(jnp.abs(f_sh[:, 10:])), 0.0)

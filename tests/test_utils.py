@@ -170,3 +170,29 @@ def test_compat_mesh(rng):
     np.testing.assert_allclose(out2["psi"], out1["psi"], rtol=2e-4,
                                atol=2e-5)
     np.testing.assert_allclose(out2["minf"], out1["minf"], rtol=2e-4)
+
+
+def test_bench_perf_model_asymmetric_counting():
+    """bench._perf_model counts (fwd, adj) MXU passes per tier: the
+    asymmetric tiers must count fewer total passes than their symmetric
+    parents in merged mode, and classic mode only re-spends the forward
+    half per line-search evaluation."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench._MXU_PASSES["fused_mx"] == (9, 4)
+    assert bench._MXU_PASSES["fused_hx"] == (12, 4)
+    assert bench._MXU_PASSES["fused_am"] == (4, 9)
+    # Merged mode: per-eval passes = fwd + adj.
+    for tier, (f, a) in bench._MXU_PASSES.items():
+        assert f > 0 and a > 0
+    assert (sum(bench._MXU_PASSES["fused_mx"])
+            < sum(bench._MXU_PASSES["fused_mp"]))
+    assert (sum(bench._MXU_PASSES["fused_hx"])
+            < sum(bench._MXU_PASSES["fused_hp"]))

@@ -123,7 +123,8 @@ class CGPtychoSolver:
         """Deep-residual reconstruction to a target relative residual
         (the split-operator / tier-chaining driver,
         :func:`tikejax.solvers.reconstruct`) through the
-        reference-shaped facade.
+        reference-shaped facade. Extra keywords pass through -- incl.
+        ``mesh=`` (a 1-D scan mesh), which runs every stage sharded.
 
         Returns a dict {'psi', 'prb', 'residual_last', 'iters_run',
         'stages'}: ``stages`` lists (stage_name, iterations) pairs.
