@@ -61,6 +61,11 @@ VARIANTS = {
     # objective/floor as 'fused') + bf16x3 gradient IDFT, probing
     # whether cleaner L-BFGS curvature pairs cut deep iterations.
     "amfast256": dict(segment=256, fast_kernel="fused_am"),
+    # Track-style warm start for the L-BFGS natural step: after a
+    # backtracked accept, start the next search at the accepted step
+    # (ceiling 1) instead of 1 -- probes the ~0.5 extra evals/iter the
+    # deep segments spend rejecting the natural step.
+    "lbfgstrack256": dict(segment=256, step_policy="track"),
     # low-frequency-boosting SPD Fourier preconditioner variants
     # (CGOptions.precondition='illum_lowk'); b<boost>f<frac*100>
     "lowk256": dict(segment=256, precondition="illum_lowk",

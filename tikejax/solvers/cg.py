@@ -753,6 +753,32 @@ class _Engine:
             jnp.where(gamma0_prev > 0, gamma0_prev, gamma0))
         return warm.astype(dtype)
 
+    def lbfgs_gamma0(self, dtype, count, gamma_prev, gamma0_prev):
+        """Line-search start for the L-BFGS direction: the H0-scaled
+        direction's natural step is 1 once history exists, so the
+        default start is 1 (a regrow policy is equivalent -- min(1,
+        4x previous) recovers to 1 after any accept above 0.25).
+        With step_policy='track', a previous iteration that had to
+        backtrack starts the next search at its ACCEPTED step instead
+        (ceiling 1; outright accepts and failures restart at 1) --
+        the idea was to save the rejection evaluation when the natural
+        step is persistently too long, but it measured decisively
+        WORSE on the headline 1e-6 refinement (tail_ab lbfgstrack256:
+        36.2 s / 1247 iters vs 23.5 s / 1048 default -- the smaller
+        warm starts slow descent more than the saved evals gain, the
+        same qualitative result as the Dai-Yuan 'track' ablation).
+        Kept selectable; the default stays the natural step."""
+        one = jnp.ones((), dtype)
+        if self.step_policy() == "track":
+            with_hist = jnp.where(
+                gamma_prev <= 0, one,
+                jnp.where(gamma_prev >= gamma0_prev, one,
+                          gamma_prev.astype(dtype)))
+        else:
+            with_hist = one
+        return jnp.where(count > 0, with_hist,
+                         self._gamma0(dtype, gamma_prev, gamma0_prev))
+
     def use_fused_linesearch(self) -> bool:
         """Fused one-pass candidate evaluation applies in materialised mode
         on the Pallas kernel paths (kernel != 'xla' after resolution).
@@ -1130,9 +1156,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                                 gam_prev.astype(psi.dtype) * d_psi,
                                 gpsi - g_psi_prev, gam_prev > 0)
             d_psi = eng.lbfgs_direction(gpsi, lb)
-            gamma0 = jnp.where(
-                lb[3] > 0, jnp.ones((), real_dtype),
-                eng._gamma0(real_dtype, gam_prev, gam0_prev))
+            gamma0 = eng.lbfgs_gamma0(real_dtype, lb[3], gam_prev,
+                                      gam0_prev)
         else:
             lb = ()
             d_psi = eng.dy_direction(gpsi, g_psi_prev, d_psi)
@@ -1216,9 +1241,8 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                                 gam_prev.astype(psi.dtype) * d_prev,
                                 g_cur - g_prev, gam_prev > 0)
             d = eng.lbfgs_direction(g_cur, lb)
-            gamma0 = jnp.where(
-                lb[3] > 0, jnp.ones((), real_dtype),
-                eng._gamma0(real_dtype, gam_prev, gam0_prev))
+            gamma0 = eng.lbfgs_gamma0(real_dtype, lb[3], gam_prev,
+                                      gam0_prev)
         else:
             lb = ()
             d = eng.dy_direction(g_cur, g_prev, d_prev)
