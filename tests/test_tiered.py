@@ -414,7 +414,10 @@ def test_reconstruct_on_mesh_recover_prb():
                                     mesh=make_mesh(4))
     names = [n for n, _ in stm]
     assert names[0].endswith(":joint")
+    # Descended across the whole run: final stage's end residual far
+    # below the first stage's starting residual.
+    res0 = float(np.asarray(stm[0][1]["residual"])[0])
     m = stm[-1][1]
     k = max(int(m["iters_run"]) - 1, 0)
-    res = np.asarray(m["residual"])
-    assert res[k] < res[0] or len(stm) > 1  # descended across stages
+    res_end = float(np.asarray(m["residual"])[k])
+    assert res_end < 0.1 * res0

@@ -190,3 +190,10 @@ def test_tiled_full_three_axis_mesh():
                                np.asarray(m_t["minf"]), rtol=2e-4)
     assert float(jnp.max(jnp.abs(psi_1 - psi_t))) < 2e-3 * float(
         jnp.max(jnp.abs(psi_1)))
+
+
+def test_tiled_carry_state_rejected():
+    g, psi_true, scan, prb, data, psi0 = tiling_problem(2)
+    with pytest.raises(ValueError, match="carry_state"):
+        run_tiled(data, psi0, scan, prb, g, make_obj_mesh(2), piter=2,
+                  carry_state=True)

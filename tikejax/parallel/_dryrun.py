@@ -108,26 +108,20 @@ def run_dryrun(n_devices: int) -> None:
     if n_devices >= 8:
         # Full 3-axis composition: one step on a ('theta', 'obj',
         # 'scan') 2x2x2 mesh -- every parallel axis in one program.
+        import dataclasses
+
         from tikejax.parallel import make_full_mesh
 
-        g4 = dataclasses_replace_theta(g3, 2)
+        g4 = dataclasses.replace(g3, ntheta=2)
         psi4 = jnp.concatenate([psi3, psi3])
         prb4 = jnp.concatenate([prb3, prb3])
         scan4 = jnp.concatenate([scan3, scan3])
-        from tikejax.models import simulate_intensities as _sim
-
-        data4 = _sim(psi4, scan4, prb4, g4.ndet)
+        data4 = simulate_intensities(psi4, scan4, prb4, g4.ndet)
         psi_f, _, mf = run_tiled(data4, cones(g4.psi_shape), scan4, prb4,
                                  g4, make_full_mesh(2, 2, 2), piter=1)
         jax.block_until_ready((psi_f, mf))
         assert psi_f.shape == g4.psi_shape
         assert bool(jnp.isfinite(mf["minf"][0]))
-
-
-def dataclasses_replace_theta(g, ntheta):
-    import dataclasses
-
-    return dataclasses.replace(g, ntheta=ntheta)
 
 
 def main(n_devices: int) -> None:

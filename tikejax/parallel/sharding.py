@@ -24,7 +24,6 @@ zero host round-trips.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import numpy as np
@@ -34,7 +33,7 @@ from tikejax.geometry import Geometry
 from tikejax.solvers import cg as _cg
 
 
-def _call_checked(make_sharded, *args):
+def _call_checked(make_sharded, *args, cache=None, key=None):
     """Run ``jax.jit(make_sharded(check_vma=True))(*args)``, falling back
     to ``check_vma=False`` when JAX itself cannot type the program.
 
@@ -46,13 +45,33 @@ def _call_checked(make_sharded, *args):
     Pallas *interpreter* (CPU test mode) internally mixes vma'd operands
     with unvarying slice indices, which the checker rejects inside JAX's
     own lowering -- not a property of this program. Compiled TPU paths
-    and all XLA-kernel paths stay strictly checked."""
+    and all XLA-kernel paths stay strictly checked.
+
+    With ``cache``/``key``, the chosen jitted wrapper is MEMOIZED: a
+    fresh ``jit(shard_map(...))`` object re-traces the whole program on
+    every call (only the XLA compilation is deduped by jaxpr hash), and
+    the deep driver's per-segment calls would otherwise pay full host
+    tracing of the ~1500-line solver each segment -- the cached wrapper
+    carries its own trace cache like the unsharded _run_cg_jit."""
+    if cache is not None and key in cache:
+        return cache[key](*args)
+    fn = jax.jit(make_sharded(True))
     try:
-        return jax.jit(make_sharded(True))(*args)
+        out = fn(*args)
     except ValueError as e:  # pragma: no cover - interpreter limitation
         if "varying manual axes" not in str(e):
             raise
-        return jax.jit(make_sharded(False))(*args)
+        fn = jax.jit(make_sharded(False))
+        out = fn(*args)
+    if cache is not None:
+        cache[key] = fn
+    return out
+
+
+# Memoized jit(shard_map(...)) wrappers (see _call_checked): keyed on
+# everything the traced program closes over -- the mesh, the local
+# geometry, the resolved options, and which optional args are present.
+_SHARDED_CACHE: dict = {}
 
 
 def make_mesh(n_devices: int | tuple[int, int] | None = None,
@@ -124,7 +143,6 @@ def pad_scan_problem(data, scan, geometry: Geometry, nsh: int):
     return data, scan, dataclasses.replace(geometry, nscan=s_pad)
 
 
-@functools.lru_cache(maxsize=None)
 def _fwd_sharded_fn(mesh: Mesh, ndet: int, kernel: str):
     theta_ax, scan_ax = _axes(mesh)
     from tikejax.ops import diffraction
@@ -145,9 +163,11 @@ def fwd_sharded(psi, scan, prb, ndet: int, kernel: str, mesh: Mesh):
     """Position-sharded forward diffraction: scan sharded over the mesh,
     psi/prb replicated (or theta-sharded on 2-D meshes); the returned
     farplane stays sharded over the scan axis. Used by the deep driver
-    to freeze split-operator base farplanes on a mesh."""
+    to freeze split-operator base farplanes on a mesh. The jitted
+    wrapper is memoized per (mesh, ndet, kernel)."""
     return _call_checked(_fwd_sharded_fn(mesh, ndet, kernel),
-                         psi, scan, prb)
+                         psi, scan, prb, cache=_SHARDED_CACHE,
+                         key=("fwd", mesh, ndet, kernel))
 
 
 def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
@@ -240,4 +260,6 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
             check_vma=check_vma,
         )
 
-    return _call_checked(sharded, *args)
+    return _call_checked(sharded, *args, cache=_SHARDED_CACHE,
+                         key=("run", mesh, g_local, options, has_fb,
+                              has_ci))

@@ -217,6 +217,12 @@ def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
         psi0, scan, data, g, D, scan_shards=S)
     halo = g.nprb - 1
 
+    if options.carry_state:
+        raise ValueError(
+            "carry_state is not supported under object tiling: the "
+            "carried cg_state rides in the replicated metrics, but its "
+            "object-domain entries are per-slab (use run_sharded on a "
+            "1-D scan mesh for carried segments)")
     g_local = dataclasses.replace(g, nz=owned + halo, ntheta=g.ntheta // T,
                                   nscan=scan_loc.shape[2] // S)
     opts = dataclasses.replace(options, obj_axis_name=axis,
@@ -252,7 +258,8 @@ def run_tiled(data, psi0, scan, prb0, geometry: Geometry, mesh: Mesh,
             check_vma=check_vma,
         )
 
-    from tikejax.parallel.sharding import _call_checked
-    psi_s, prb, metrics = _call_checked(sharded, data_p, psi_slabs,
-                                        scan_loc, prb0)
+    from tikejax.parallel.sharding import _SHARDED_CACHE, _call_checked
+    psi_s, prb, metrics = _call_checked(
+        sharded, data_p, psi_slabs, scan_loc, prb0,
+        cache=_SHARDED_CACHE, key=("tiled", mesh, g_local, opts))
     return jax.jit(stitch, static_argnums=1)(psi_s, owned), prb, metrics

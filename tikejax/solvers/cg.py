@@ -770,10 +770,13 @@ class _Engine:
         Kept selectable; the default stays the natural step."""
         one = jnp.ones((), dtype)
         if self.step_policy() == "track":
+            # Clamp to the natural-step ceiling 1: with step0 > 1 the
+            # count==0 iteration may accept a backtracked step above 1,
+            # which must not become the quasi-Newton warm start.
             with_hist = jnp.where(
                 gamma_prev <= 0, one,
                 jnp.where(gamma_prev >= gamma0_prev, one,
-                          gamma_prev.astype(dtype)))
+                          jnp.minimum(one, gamma_prev.astype(dtype))))
         else:
             with_hist = one
         return jnp.where(count > 0, with_hist,
