@@ -57,6 +57,11 @@ VARIANTS = {
     "lbfgs128": dict(segment=128, direction="lbfgs"),
     "lbfgs256noaa": dict(segment=256, direction="lbfgs",
                          accelerate=None),
+    # Full L-BFGS ring carry across split-segment re-bases (CGOptions.
+    # carry_lbfgs): the default seeds only ONE cross-segment curvature
+    # pair; this hands the whole (S, Y) ring forward instead.
+    "ring256": dict(segment=256, carry_lbfgs=True),
+    "ring128": dict(segment=128, carry_lbfgs=True),
     # Reverse-asymmetric refinement kernel: single-pass forward (same
     # objective/floor as 'fused') + bf16x3 gradient IDFT, probing
     # whether cleaner L-BFGS curvature pairs cut deep iterations.

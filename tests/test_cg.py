@@ -125,6 +125,48 @@ def test_cg_state_carry_continues_trajectory(rng, kern):
                            np.asarray(m_b["minf"]), rtol=1e-6)
 
 
+def test_lbfgs_ring_carry_continues_trajectory(rng):
+    """carry_lbfgs hands the FULL (S, Y) ring forward: two chained
+    L-BFGS runs reproduce one long run exactly, whereas the default
+    4-slot carry (ring rebuilt from the one implicitly-seeded pair)
+    diverges once the long run's ring depth exceeds one."""
+    from tikejax.solvers.cg import zero_cg_state
+
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    kw = dict(kernel="xla", direction="lbfgs:3", carry_state=True)
+    psi_a, _, m_a = run(data, psi0, scan, prb, GEOM_SMALL, piter=8,
+                        carry_lbfgs=True, **kw)
+    assert len(m_a["cg_state"]) == 8
+    assert m_a["cg_state"][4].shape == (3,) + GEOM_SMALL.psi_shape
+    psi_b, _, m_b = run(data, psi_a, scan, prb, GEOM_SMALL, piter=8,
+                        carry_lbfgs=True, cg_init=m_a["cg_state"], **kw)
+    psi_c, _, m_c = run(data, psi0, scan, prb, GEOM_SMALL, piter=16,
+                        kernel="xla", direction="lbfgs:3")
+    chained = np.concatenate([np.asarray(m_a["minf"]),
+                              np.asarray(m_b["minf"])])
+    np.testing.assert_allclose(chained, np.asarray(m_c["minf"]),
+                               rtol=1e-6)
+    assert float(jnp.max(jnp.abs(psi_b - psi_c))) < 1e-5 * float(
+        jnp.max(jnp.abs(psi_c)))
+    # The 4-slot carry (no ring) does NOT reproduce the long run here
+    # (sanity: the ring actually matters on this trajectory).
+    psi_a4, _, m_a4 = run(data, psi0, scan, prb, GEOM_SMALL, piter=8,
+                          **kw)
+    _, _, m_b4 = run(data, psi_a4, scan, prb, GEOM_SMALL, piter=8,
+                     cg_init=m_a4["cg_state"], **kw)
+    assert not np.allclose(np.asarray(m_b4["minf"]),
+                           np.asarray(m_b["minf"]), rtol=1e-6)
+    # zero_cg_state == fresh start (the device-side carry-guard
+    # invariant solvers.tiered relies on), in the 8-tuple layout too.
+    opts = CGOptions(carry_lbfgs=True, **kw)
+    z = zero_cg_state(psi0, opts)
+    assert len(z) == 8
+    _, _, m_z = run(data, psi0, scan, prb, GEOM_SMALL, piter=8,
+                    carry_lbfgs=True, cg_init=z, **kw)
+    np.testing.assert_allclose(np.asarray(m_z["minf"]),
+                               np.asarray(m_a["minf"]), rtol=1e-6)
+
+
 def test_joint_probe_recovery(rng):
     """BASELINE.json:9 analogue: joint object+probe."""
     psi_true, scan, prb_true, data, psi0 = setup_problem(rng, GEOM_SMALL)

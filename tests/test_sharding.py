@@ -107,6 +107,29 @@ def test_sharded_lbfgs_matches_single(problem):
         jnp.max(jnp.abs(psi_1)))
 
 
+def test_sharded_lbfgs_ring_carry_matches_single(problem):
+    """The 8-tuple carry_lbfgs cg_state threads through run_sharded
+    (the ring entries get their own in_specs): a sharded chained pair
+    of runs matches the single-device chained pair."""
+    g, psi_true, scan, prb, data, psi0 = problem
+    kw = dict(direction="lbfgs:3", carry_state=True, carry_lbfgs=True,
+              piter=6)
+    psi_a, _, m_a = run(data, psi0, scan, prb, g, **kw)
+    psi_b, _, m_b = run(data, psi_a, scan, prb, g,
+                        cg_init=m_a["cg_state"], **kw)
+    mesh = make_mesh(4)
+    data_s, scan_s = shard_problem(mesh, data, scan)
+    psi_as, _, m_as = run_sharded(data_s, psi0, scan_s, prb, g, mesh,
+                                  **kw)
+    assert len(m_as["cg_state"]) == 8
+    psi_bs, _, m_bs = run_sharded(data_s, psi_as, scan_s, prb, g, mesh,
+                                  cg_init=m_as["cg_state"], **kw)
+    np.testing.assert_allclose(np.asarray(m_b["minf"]),
+                               np.asarray(m_bs["minf"]), rtol=2e-4)
+    assert float(jnp.max(jnp.abs(psi_b - psi_bs))) < 2e-3 * float(
+        jnp.max(jnp.abs(psi_b)))
+
+
 @pytest.mark.parametrize("tshards,sshards", [(2, 4), (4, 2), (2, 1)])
 def test_theta_sharded_matches_single(tshards, sshards):
     """P2 angle-axis sharding (SURVEY.md SS5): a 2-D ('theta', 'scan')

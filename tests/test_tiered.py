@@ -172,6 +172,24 @@ def test_reconstruct_split_anderson(problem):
                     **kw)
 
 
+def test_reconstruct_split_lbfgs_ring_carry(problem):
+    """carry_lbfgs=True threads the full 8-tuple cg_state (incl. the
+    (S, Y, sy, count) ring) through the split refinement -- segments,
+    Anderson masking, and the device-side carry guard all operate on
+    the extended layout -- and still reaches the target."""
+    psi_true, scan, prb, data, psi0 = problem
+    psi, _, stages = reconstruct(data, psi0, scan, prb, GEOM,
+                                 target_residual=2e-4, segment=24,
+                                 max_segments=24, carry_lbfgs=True,
+                                 tiers=(("xla", 5e-3, 96),))
+    last = stages[-1][1]
+    k = int(last["iters_run"])
+    assert np.asarray(last["residual"])[max(k - 1, 0)] <= 2e-4
+    # The refinement actually ran multi-segment (the carry had a
+    # boundary to cross).
+    assert sum(1 for n, _ in stages if n.startswith("split:")) >= 2
+
+
 def test_direction_auto_resolution(problem):
     """The default direction='auto' resolves to Dai-Yuan in a plain
     run (flat-start basin hazard, BASELINE.md round 3) and to L-BFGS

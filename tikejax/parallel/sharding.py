@@ -240,8 +240,15 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
         args.append(f_base)
         in_specs.append(P(theta_ax, scan_ax))
     if has_ci:
-        args.append(tuple(cg_init))
-        in_specs.append((P(theta_ax), P(theta_ax), P(), P()))
+        ci = tuple(cg_init)
+        args.append(ci)
+        ci_spec = (P(theta_ax), P(theta_ax), P(), P())
+        if len(ci) == 8:
+            # carry_lbfgs layout: + (S, Y, sy, count); the rings stack
+            # object-domain arrays on a leading memory axis, so theta
+            # (if sharded) sits at axis 1.
+            ci_spec += (P(None, theta_ax), P(None, theta_ax), P(), P())
+        in_specs.append(ci_spec)
 
     def body(*a):
         d, p, s, pr = a[:4]
@@ -262,4 +269,4 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
 
     return _call_checked(sharded, *args, cache=_SHARDED_CACHE,
                          key=("run", mesh, g_local, options, has_fb,
-                              has_ci))
+                              len(ci) if has_ci else 0))

@@ -249,6 +249,64 @@ class CGOptions:
     # base re-freeze no longer loses CG momentum (object step only;
     # probe CG state is not carried).
     carry_state: bool = False
+    # With carry_state and an L-BFGS direction, also carry the ring of
+    # (s, y) curvature pairs in metrics['cg_state'] (8-tuple layout:
+    # the 4 scalar/array CG slots + (S, Y, sy, count)) so a follow-up
+    # segment re-opens with the full quasi-Newton memory instead of
+    # rebuilding it from the one implicitly-seeded cross-segment pair.
+    # The same consistency argument as carry_state applies: the re-base
+    # shifts the objective by the fast tier's operator error at the old
+    # ||delta||, so carried pairs are only as good as segments are
+    # short. Measured on TPU (tail_ab ring256 vs default256, 3
+    # consistent samples each side): the ring cuts ITERATIONS at both
+    # depths (1e-6: 1021 vs 1048, 6 vs 7 stages; 3e-7: 1692 vs 1775)
+    # but the 3e-7 wall is consistently WORSE (47.7-47.8 s vs 39.2 --
+    # variant-correlated, not transport noise): the stale cross-rebase
+    # pairs mislead the natural-step line search exactly where steps
+    # are tiny, costing more evaluations per iteration than the saved
+    # iterations return. At 1e-6 it is wall-neutral (33.2 vs 33.7 s
+    # within one transport mode). Kept opt-in, default off.
+    carry_lbfgs: bool = False
+
+
+def _lbfgs_memory(direction: str) -> int:
+    """Ring size for direction='lbfgs[:m]'; 0 for 'dy'/'auto' (run()
+    resolves 'auto' to Dai-Yuan -- flat-start basin hazard)."""
+    if direction in ("dy", "auto"):
+        return 0
+    base, _, depth = direction.partition(":")
+    if base != "lbfgs" or (depth and not depth.isdigit()):
+        raise ValueError(f"unknown direction {direction!r}; "
+                         "expected 'auto', 'dy', 'lbfgs', or "
+                         "'lbfgs:<m>'")
+    m = int(depth) if depth else 8
+    if not 1 <= m <= 32:
+        raise ValueError(f"lbfgs memory must be in [1, 32], got {m}")
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _zero_cg_state_jit(psi, lbfgs_m):
+    zc = jnp.zeros_like(psi)
+    zr = jnp.zeros((), jnp.real(psi).dtype)
+    state = (zc, zc, zr, zr)
+    if lbfgs_m:
+        ring = jnp.zeros((lbfgs_m,) + psi.shape, psi.dtype)
+        state += (ring, ring, jnp.zeros((lbfgs_m,), zr.dtype),
+                  jnp.zeros((), jnp.int32))
+    return state
+
+
+def zero_cg_state(psi, options: CGOptions):
+    """All-zeros carry matching metrics['cg_state'] for these options.
+
+    An all-zeros state is EXACTLY what run_impl builds for cg_init=None
+    (fresh steepest-descent start; an empty count=0 L-BFGS ring), so
+    callers can mask a carried state to zeros on device (tree_map +
+    jnp.where) to express 'restart fresh' without a second compiled
+    solver variant -- see solvers.tiered."""
+    m = _lbfgs_memory(options.direction) if options.carry_lbfgs else 0
+    return _zero_cg_state_jit(psi, m)
 
 
 def _rdot(a, b):
@@ -408,17 +466,7 @@ class _Engine:
             raise ValueError(f"unknown merged_linesearch "
                              f"{o.merged_linesearch!r}; expected 'auto' "
                              "or 'off'")
-        self.lbfgs_m = 0
-        if o.direction not in ("dy", "auto"):
-            base, _, depth = o.direction.partition(":")
-            if base != "lbfgs" or (depth and not depth.isdigit()):
-                raise ValueError(f"unknown direction {o.direction!r}; "
-                                 "expected 'auto', 'dy', 'lbfgs', or "
-                                 "'lbfgs:<m>'")
-            self.lbfgs_m = int(depth) if depth else 8
-            if not 1 <= self.lbfgs_m <= 32:
-                raise ValueError("lbfgs memory must be in [1, 32], got "
-                                 f"{self.lbfgs_m}")
+        self.lbfgs_m = _lbfgs_memory(o.direction)
         if o.step_policy not in ("auto", "track", "regrow"):
             raise ValueError(f"unknown step_policy {o.step_policy!r}; "
                              "expected 'auto', 'track', or 'regrow'")
@@ -1065,7 +1113,9 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
 
     ``cg_init`` -- a (direction, previous preconditioned gradient,
     accepted gamma, gamma0) tuple as returned in metrics['cg_state']
-    under ``options.carry_state`` -- seeds the loop carry so the run
+    under ``options.carry_state`` (extended by the (S, Y, sy, count)
+    L-BFGS ring under ``options.carry_lbfgs``) -- seeds the loop carry
+    so the run
     CONTINUES a prior conjugate-gradient trajectory (first Dai-Yuan
     beta computed against the carried direction) instead of opening
     with steepest descent. The caller must hand a state taken at the
@@ -1315,19 +1365,37 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                 gamma0, *lb, metrics)
 
     zscal = jnp.zeros((), real_dtype)
+    # L-BFGS ring buffers ride at the tail of the carry (just before
+    # metrics) in both layouts, so the cg_state slot indices and the
+    # st[-1] metrics access stay put. By default the ring is NOT
+    # carried across split segments (cg_init seeds one cross-segment
+    # curvature pair implicitly: the first push uses the carried
+    # (d, gamma, g)); with options.carry_lbfgs the full ring rides in
+    # the 8-tuple cg_state instead (measured A/B in BASELINE.md).
+    ring_carry = bool(eng.lbfgs_m) and o.carry_lbfgs
+    lb0 = eng.lbfgs_init(psi0, real_dtype) if eng.lbfgs_m else ()
     if cg_init is not None:
-        d_in, g_in, gam_in, gam0_in = cg_init
+        if ring_carry:
+            if len(cg_init) != 8:
+                raise ValueError("carry_lbfgs expects the 8-tuple "
+                                 "cg_state layout (4 CG slots + the "
+                                 f"(S, Y, sy, count) ring); got "
+                                 f"{len(cg_init)} entries")
+            d_in, g_in, gam_in, gam0_in, S_in, Y_in, sy_in, cnt_in = \
+                cg_init
+            lb0 = (S_in.astype(psi0.dtype), Y_in.astype(psi0.dtype),
+                   sy_in.astype(real_dtype), cnt_in.astype(jnp.int32))
+            if lb0[0].shape[0] != eng.lbfgs_m:
+                raise ValueError(
+                    f"carried L-BFGS ring has m={lb0[0].shape[0]}, "
+                    f"options request m={eng.lbfgs_m}")
+        else:
+            d_in, g_in, gam_in, gam0_in = cg_init
         gam_in = gam_in.astype(real_dtype)
         gam0_in = gam0_in.astype(real_dtype)
     else:
         d_in, g_in = jnp.zeros_like(psi0), jnp.zeros_like(psi0)
         gam_in, gam0_in = zscal, zscal
-    # L-BFGS ring buffers ride at the tail of the carry (just before
-    # metrics) in both layouts, so the cg_state slot indices and the
-    # st[-1] metrics access stay put. The ring is NOT carried across
-    # split segments (cg_init seeds one cross-segment curvature pair
-    # implicitly: the first push uses the carried (d, gamma, g)).
-    lb0 = eng.lbfgs_init(psi0, real_dtype) if eng.lbfgs_m else ()
     if eng.merged:
         f_init, g_init, _, _ = eng.grad_pass(psi0, prb0, scan, data,
                                              want_psi=True,
@@ -1386,11 +1454,13 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
         # the accepted gamma / its start sit at slots 7/8 (merged) or
         # 6/7 (classic). Feed back via run_impl(cg_init=...).
         if eng.merged:
-            metrics["cg_state"] = (st_end[2], st_end[3], st_end[7],
-                                   st_end[8])
+            cs = (st_end[2], st_end[3], st_end[7], st_end[8])
         else:
-            metrics["cg_state"] = (st_end[2], st_end[3], st_end[6],
-                                   st_end[7])
+            cs = (st_end[2], st_end[3], st_end[6], st_end[7])
+        if ring_carry:
+            # The ring is the 4-slot block just before metrics.
+            cs = cs + tuple(st_end[-5:-1])
+        metrics["cg_state"] = cs
     return psi, prb, metrics
 
 

@@ -335,7 +335,7 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
     # (tikejax.utils.hostio).
     add = jax.jit(jnp.add)
 
-    state = _zero_state(psi) if segment_carry else None
+    state = _cg.zero_cg_state(psi, opts2) if segment_carry else None
 
     prev = None
     flat = 0
@@ -425,7 +425,8 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
                 res_hist = []
                 aa_hist = []  # joint segment changed the map
                 f_next = None  # pending base used the old probe
-                state = _zero_state(psi) if segment_carry else None
+                state = (_cg.zero_cg_state(psi, opts2) if segment_carry
+                         else None)
                 continue
         prev = m
     return psi, prb, stages
@@ -440,28 +441,22 @@ _FLOOR_CONTRACTION = 0.995
 
 
 # Device-side carry guard: an all-zeros state is EXACTLY what run_impl
-# builds for cg_init=None (fresh steepest-descent start), so masking the
-# carried tuple keeps the carry decision on device (no per-segment
-# readback) and compiles ONE solver variant for all segments. Segments
-# that end early (stall or target) restart fresh -- a stalled direction
-# is one the line search already rejected. Budget-exhausted segments
-# always carry: measured at BOTH regimes (1e-6: 29.9 s vs 31.5 s;
-# 3e-7 grind: 393.5 s vs 546.5 s), carry wins for short segments even
-# when per-segment progress is a few percent, so no progress-based
-# masking is applied (a 5% threshold was tried and would have disabled
-# carry exactly where it was winning).
+# builds for cg_init=None (fresh steepest-descent start; an empty
+# count=0 L-BFGS ring under carry_lbfgs -- cg.zero_cg_state builds the
+# matching layout), so masking the carried tuple keeps the carry
+# decision on device (no per-segment readback) and compiles ONE solver
+# variant for all segments. Segments that end early (stall or target)
+# restart fresh -- a stalled direction is one the line search already
+# rejected. Budget-exhausted segments always carry: measured at BOTH
+# regimes (1e-6: 29.9 s vs 31.5 s; 3e-7 grind: 393.5 s vs 546.5 s),
+# carry wins for short segments even when per-segment progress is a few
+# percent, so no progress-based masking is applied (a 5% threshold was
+# tried and would have disabled carry exactly where it was winning).
 @jax.jit
 def _masked_state(cg_state, iters_run, segment):
     keep = iters_run >= segment
     return jax.tree_util.tree_map(
         lambda x: jnp.where(keep, x, jnp.zeros_like(x)), cg_state)
-
-
-@jax.jit
-def _zero_state(psi):
-    zc = jnp.zeros_like(psi)
-    zr = jnp.zeros((), jnp.real(psi).dtype)
-    return (zc, zc, zr, zr)
 
 
 # Anderson (AA-II) default mixing depth over the split-segment iterate
