@@ -81,18 +81,23 @@ from tikejax.ops.fft import crop_from_det, fft2o, ifft2o, pad_to_det
 #                 1e-6 dropped only 1048 -> 1024 (the tail is intrinsic
 #                 curvature, not gradient noise) while wall time rose
 #                 23.3 -> 28.6 s (BASELINE.md round 3). Kept selectable.
-#   'auto'     -- 'fused_mx' on TPU, 'xla' elsewhere. fused_mp DOMINATES
-#                 the single-pass tier over any full trajectory (round-2
-#                 A/B on the headline: 56.2 vs 41.5 iters/s full-window,
-#                 at ~300x the operator accuracy -- its cleaner gradients
-#                 keep the line search short deep into the run), and
-#                 fused_mx dominates fused_mp (round-3 A/B: 73.5 vs 55.3
-#                 iters/s median-of-3 with an IDENTICAL residual
-#                 trajectory, res 2.82e-5 @ 400 iters and 9.0e-6 @ 1024
-#                 both), so mx is the no-target default; 'fused' remains
-#                 the explicit quick-preview tier and is still
-#                 auto-selected when a shallow target_residual (> its
-#                 floor) is requested.
+#   'auto'     -- context-dependent (round-4 split, VERDICT r3 weak #1):
+#                 OPERATOR entry points (fwd/adj/adj_probe, Ptycho, the
+#                 compat facade, jax.grad of user objectives through
+#                 `fwd`) resolve to the SYMMETRIC 'fused_mp' on TPU so
+#                 the default bundle is always an exact Hermitian pair
+#                 at its advertised ~8e-6 tier -- the reference's
+#                 operators are always a pair (SURVEY SS4 item 1), and a
+#                 silent ~2.5e-3 pair violation under defaults is a trap
+#                 for operator-level users. The SOLVER
+#                 (resolve_kernel_for_target, used by CGOptions
+#                 normalization) resolves to the asymmetric 'fused_mx',
+#                 where the measured A/Bs justify the tilt: fused_mp
+#                 beat the single-pass tier 56.2 vs 41.5 iters/s
+#                 full-window (round 2), and fused_mx beat fused_mp
+#                 73.5 vs 55.3 with an IDENTICAL residual trajectory
+#                 (round 3; res 2.82e-5 @ 400 iters and 9.0e-6 @ 1024
+#                 both). 'xla' everywhere off-TPU.
 _KERNELS = ("xla", "pallas", "fused", "fused_mp", "fused_hp", "fused_mx",
             "fused_hx", "fused_am", "auto")
 
@@ -110,13 +115,23 @@ FUSED_RESIDUAL_FLOOR = 5e-3      # 'fused'    (~2.5e-3 operator error)
 FUSED_MP_RESIDUAL_FLOOR = 1e-5
 
 
-def resolve_kernel(kernel: str) -> str:
+def resolve_kernel(kernel: str, backend: str | None = None) -> str:
+    """Resolve 'auto' for OPERATOR-level use (fwd/adj/adj_probe, Ptycho,
+    compat, jax.grad through `fwd`): the symmetric 'fused_mp' tier, so the
+    default operator bundle is an exact Hermitian fwd/adj pair at its
+    advertised ~8e-6 accuracy (SURVEY SS4 item 1 -- the load-bearing
+    property of the reference's operators). The solver resolves 'auto'
+    separately via :func:`resolve_kernel_for_target`, where the faster
+    asymmetric 'fused_mx' tier is measured-safe. `backend` overrides
+    ``jax.default_backend()`` (tests)."""
     if kernel == "auto":
-        return "fused_mx" if jax.default_backend() == "tpu" else "xla"
+        backend = backend or jax.default_backend()
+        return "fused_mp" if backend == "tpu" else "xla"
     return kernel
 
 
-def resolve_kernel_for_target(kernel: str, target_residual: float) -> str:
+def resolve_kernel_for_target(kernel: str, target_residual: float,
+                              backend: str | None = None) -> str:
     """Resolve 'auto' honouring a requested relative-residual target.
     Deep targets escalate to the full-precision DFT tier; SHALLOW targets
     (above the fast tier's floor) de-escalate to the single-pass preview
@@ -127,9 +142,14 @@ def resolve_kernel_for_target(kernel: str, target_residual: float) -> str:
     fused_mp 73.5 vs 55.3 with an identical trajectory).
     Explicit kernel choices are returned unchanged. Targets are on the
     solver's relative-residual scale, which is comparable across the
-    gaussian and poisson models (likelihoods.poisson_perfect_minf)."""
-    if kernel != "auto" or jax.default_backend() != "tpu":
-        return resolve_kernel(kernel)
+    gaussian and poisson models (likelihoods.poisson_perfect_minf).
+    NOTE this is the SOLVER's 'auto' resolution: it may pick the
+    asymmetric fused_mx tier, whose fwd/adj are deliberately not a
+    deep-tier Hermitian pair; operator-level entry points resolve via
+    :func:`resolve_kernel` (symmetric) instead."""
+    backend = backend or jax.default_backend()
+    if kernel != "auto" or backend != "tpu":
+        return resolve_kernel(kernel, backend)
     if target_residual and target_residual <= FUSED_MP_RESIDUAL_FLOOR:
         return "fused_hp"
     if target_residual and target_residual > FUSED_RESIDUAL_FLOOR:
@@ -138,8 +158,6 @@ def resolve_kernel_for_target(kernel: str, target_residual: float) -> str:
 
 
 def _fused_precision(kernel: str):
-    import jax.lax as lax
-
     # The multi-pass tiers use the Karatsuba/Gauss 3-multiplication
     # complex-matmul form: measured +18% (fused_mp, 30.2 -> 35.7 iters/s)
     # and +27% (fused_hp, 16.6 -> 21.0) on the 512^2/16k headline with
@@ -151,11 +169,11 @@ def _fused_precision(kernel: str):
         return "kara_hp"
     if kernel in ("fused_mp", "fused_mx"):
         return "kara_x3"
-    # A/B knob for the fast tier now that the kernel is MXU-bound
-    # (Karatsuba = 3/4 of the MXU passes, at ~1.6x the operator error).
-    import os
-    if int(os.environ.get("TIKEJAX_FUSED_KARA", "0")):
-        return "kara"
+    # The single-pass 'fused' tier's Karatsuba variant (measured no
+    # faster, worse accuracy) stays reachable for A/B sweeps by passing
+    # precision='kara' to the pallas_fused entry points directly -- the
+    # former TIKEJAX_FUSED_KARA trace-time env read is gone (VERDICT r3
+    # weak #4: cached jits silently ignored mid-process changes).
     return None
 
 

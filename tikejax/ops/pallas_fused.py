@@ -57,9 +57,7 @@ overlap scatter deterministic):
 Adjoints are exact in both schemes: the adjoint kernels apply F^H .
 conj(F) with the same (variant-selected) factor matrices.
 
-Select with ``TIKEJAX_ADDR={v1,v2}`` (read at import) or per call via
-``addressing=``; changing the env var mid-process does NOT invalidate
-jitted callers.
+Select per call via ``addressing=`` ('v2' is the module default).
 """
 
 from __future__ import annotations
@@ -81,7 +79,15 @@ from tikejax.ops.pallas_kernels import (_SUB, _accum_patch,
                                         _split_c64, _window_hw,
                                         _window_hw2, _with_vma)
 
-_ADDR = os.environ.get("TIKEJAX_ADDR", "v2")
+# Default addressing scheme. v2 (no dynamic sublane rotates) is the
+# measured winner everywhere (BASELINE.md round-2-final ablation: v1
+# 74.6 -> v2 147.9 on the relative window, and v1's rotate pair hit a
+# 207 ms/iter pathological lowering under one libtpu build); v1 remains
+# selectable PER CALL via the ``addressing=`` parameter every public
+# entry point carries. The former TIKEJAX_ADDR import-time env read is
+# gone (VERDICT r3 weak #4 hygiene: changing it mid-process was silently
+# ignored by cached jits); benchmarks select explicitly.
+_ADDR = "v2"
 
 # Timing-only ablation switch: 1 replaces the per-position dynamic probe-
 # variant table selects (and the per-frame row phases) with the static
@@ -93,11 +99,14 @@ _ADDR = os.environ.get("TIKEJAX_ADDR", "v2")
 _V2ABL = 0
 
 # Objective accumulator placement in the mega-kernels: a revisited SMEM
-# scalar (default) vs per-grid-step VMEM slots summed by XLA
-# (TIKEJAX_MINF_SMEM=0). Measured on the 512^2/16k headline: slots are
-# WORSE (29.5 vs 39.6 iters/s full-window) -- the per-step (1,1,1,1)
-# output DMA disrupts the pipeline more than the SMEM scalar does.
-_MINF_SMEM = int(os.environ.get("TIKEJAX_MINF_SMEM", "1"))
+# scalar (default) vs per-grid-step VMEM slots summed by XLA (=0).
+# Measured on the 512^2/16k headline: slots are WORSE (29.5 vs 39.6
+# iters/s full-window) -- the per-step (1,1,1,1) output DMA disrupts the
+# pipeline more than the SMEM scalar does. A module global (set by
+# benchmark harnesses before the first trace, like _V2ABL above), not an
+# env knob: the summation-order difference perturbs numerics at rounding
+# level, and trace-time env reads are banned (VERDICT r3 weak #4).
+_MINF_SMEM = 1
 
 
 def _is_v2(addressing) -> bool:
@@ -359,7 +368,7 @@ def _acc_rows(v2, nprb):
 def _minf_out(t, nblocks):
     """(ShapeDtypeStruct, BlockSpec) for the scalar-objective
     accumulator: a revisited SMEM scalar (default, measured faster) or
-    per-grid-step VMEM slots (TIKEJAX_MINF_SMEM=0); the wrapper reduces
+    per-grid-step VMEM slots (_MINF_SMEM=0); the wrapper reduces
     with jnp.sum either way."""
     if _MINF_SMEM:
         return (jax.ShapeDtypeStruct((t, 1), jnp.float32),
