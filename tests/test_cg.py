@@ -167,6 +167,31 @@ def test_lbfgs_ring_carry_continues_trajectory(rng):
                                np.asarray(m_a["minf"]), rtol=1e-6)
 
 
+def test_cg_init_layout_mismatch_diagnostic(rng):
+    """Feeding an 8-tuple (L-BFGS ring) cg_state into a run that carries
+    only the 4-tuple layout raises a diagnostic ValueError naming
+    carry_lbfgs (round-3 advisor: was a raw unpacking error)."""
+    from tikejax.solvers.cg import zero_cg_state
+
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    z8 = zero_cg_state(psi0, CGOptions(kernel="xla", direction="lbfgs:3",
+                                       carry_state=True, carry_lbfgs=True))
+    assert len(z8) == 8
+    with pytest.raises(ValueError, match="carry_lbfgs"):
+        run(data, psi0, scan, prb, GEOM_SMALL, piter=2, kernel="xla",
+            carry_state=True, cg_init=z8)
+
+
+def test_carry_lbfgs_implies_carry_state(rng):
+    """carry_lbfgs without carry_state was silently inert (no cg_state
+    in metrics); normalize_options now implies carry_state (round-3
+    advisor)."""
+    psi_true, scan, prb, data, psi0 = setup_problem(rng, GEOM_SMALL)
+    _, _, m = run(data, psi0, scan, prb, GEOM_SMALL, piter=2,
+                  kernel="xla", direction="lbfgs:3", carry_lbfgs=True)
+    assert len(m["cg_state"]) == 8
+
+
 def test_joint_probe_recovery(rng):
     """BASELINE.json:9 analogue: joint object+probe."""
     psi_true, scan, prb_true, data, psi0 = setup_problem(rng, GEOM_SMALL)

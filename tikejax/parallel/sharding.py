@@ -191,9 +191,13 @@ def run_sharded(data, psi0, scan, prb0, geometry: Geometry,
         (cg.run's ``f_base``), sharded like the data (the scan axis must
         already be a multiple of the mesh axis -- pre-pad with
         :func:`pad_scan_problem` when composing with the deep driver).
-      cg_init: carried CG state tuple (cg.run's ``cg_init``); the
-        object-domain entries are replicated (1-D meshes) or sharded
-        per-angle (2-D meshes).
+      cg_init: carried CG state tuple (cg.run's ``cg_init``): the
+        4-tuple (d, g, gamma, gamma0) CG slots, extended under
+        ``options.carry_lbfgs`` by the (S, Y, sy, count) L-BFGS ring to
+        the 8-entry layout. Object-domain entries -- d, g, and the
+        (m, *psi.shape) S/Y rings at axis 1 -- are replicated on 1-D
+        meshes and sharded per-angle on 2-D meshes; gamma/gamma0/sy/
+        count are replicated scalars.
 
     Returns:
       (psi, prb, metrics) -- psi/prb replicated (1-D mesh) or sharded

@@ -1390,6 +1390,13 @@ def run_impl(geometry: Geometry, options: CGOptions, data, psi0, scan, prb0,
                     f"carried L-BFGS ring has m={lb0[0].shape[0]}, "
                     f"options request m={eng.lbfgs_m}")
         else:
+            if len(cg_init) != 4:
+                raise ValueError(
+                    "cg_init has an 8-entry (L-BFGS ring) layout but "
+                    "this run carries only the 4-tuple (d, g, gamma, "
+                    "gamma0) CG slots -- pass carry_lbfgs=True with an "
+                    "L-BFGS direction to consume the ring, or feed the "
+                    f"4-tuple state (got {len(cg_init)} entries)")
             d_in, g_in, gam_in, gam0_in = cg_init
         gam_in = gam_in.astype(real_dtype)
         gam0_in = gam0_in.astype(real_dtype)
@@ -1508,11 +1515,17 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
 
 def normalize_options(options: CGOptions) -> CGOptions:
     """Resolve 'auto' kernel selection against the residual target (done
-    host-side, before the options become a static jit argument)."""
+    host-side, before the options become a static jit argument), and
+    normalize flag interactions."""
     if options.kernel == "auto":
         k = diffraction.resolve_kernel_for_target(
             "auto", options.target_residual)
         options = dataclasses.replace(options, kernel=k)
+    # carry_lbfgs extends the carried cg_state with the L-BFGS ring; on
+    # its own there is no cg_state to extend, so it implies carry_state
+    # (it was previously silently inert -- round-3 advisor finding).
+    if options.carry_lbfgs and not options.carry_state:
+        options = dataclasses.replace(options, carry_state=True)
     return options
 
 
