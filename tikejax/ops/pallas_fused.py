@@ -109,6 +109,21 @@ _V2ABL = 0
 _MINF_SMEM = 1
 
 
+def _base_split(base):
+    """Frozen-base farplane as the (re, im) f32 pair the kernels consume.
+
+    Accepts either the complex64 array or an already-split pair: the
+    memory-bound split-operator path keeps the base split END-TO-END
+    (fwd(..., split_out=True) emits the pair the DFT kernel produces
+    anyway) -- assembling a complex copy and re-splitting it here would
+    hold 2x the base bytes live inside the solver program, exactly the
+    peak that breaks the 8.6 GB-base configs on 16 GB HBM."""
+    if isinstance(base, (tuple, list)):
+        zre, zim = base
+        return zre.astype(jnp.float32), zim.astype(jnp.float32)
+    return _split_c64(base)
+
+
 def _is_v2(addressing) -> bool:
     return (addressing or _ADDR) == "v2"
 
@@ -469,13 +484,19 @@ def _fwd_kernel(P, nmodes, nprb, prec, has_base, v2, sy, sx, f1r, f1i,
 
 def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
         ndet: int, precision=None, base: jax.Array | None = None,
-        addressing: str | None = None) -> jax.Array:
+        addressing: str | None = None,
+        split_out: bool = False) -> jax.Array:
     """Fused forward: farplane[t,s,m] = DFT2(pad(psi[patch(s)] * prb[m])).
 
-    With ``base`` (same shape as the output), returns DFT2(...) + base,
-    fused into the same pass (split-operator refinement epilogue).
+    With ``base`` (same shape as the output; a complex array or an
+    already-split (re, im) f32 pair), returns DFT2(...) + base, fused
+    into the same pass (split-operator refinement epilogue).
 
-    Returns ``(ntheta, nscan, nmodes, ndet, ndet)`` complex64.
+    Returns ``(ntheta, nscan, nmodes, ndet, ndet)`` complex64, or with
+    ``split_out`` the raw (re, im) f32 pair the DFT kernel produces --
+    the memory-bound split-operator path stores the frozen base this
+    way so the complex copy (2x the base bytes live at once) never
+    exists.
     """
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
@@ -494,7 +515,7 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     in_specs = fac_specs + [obj_spec, obj_spec] + prb_specs
     args = [sy, sx] + fac_args + obj_args + prb_args
     if base is not None:
-        zre, zim = (_pad_axis1(a, s_pad) for a in _split_c64(base))
+        zre, zim = (_pad_axis1(a, s_pad) for a in _base_split(base))
         in_specs += [frame_spec, frame_spec]
         args += [zre, zim]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -514,6 +535,8 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
     )(*args)
+    if split_out:
+        return ore[:, :s], oim[:, :s]
     return lax.complex(ore, oim)[:, :s]
 
 
@@ -1122,7 +1145,7 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
                                   lambda i, j, *_: (i, j, 0, 0, 0))
         in_specs += [frame_spec, frame_spec]
-        args += [_pad_axis1(a, s_pad) for a in _split_c64(base)]
+        args += [_pad_axis1(a, s_pad) for a in _base_split(base)]
     fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1248,7 +1271,7 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
                                   lambda i, j, *_: (i, j, 0, 0, 0))
         in_specs += [frame_spec, frame_spec]
-        args += [_pad_axis1(a, s_pad) for a in _split_c64(base)]
+        args += [_pad_axis1(a, s_pad) for a in _base_split(base)]
     fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -34,11 +34,16 @@ def _combine(re, im):
 def to_host(x) -> np.ndarray:
     """Device array -> numpy array; complex moved as two float transfers.
 
-    Already-host numpy arrays pass through untouched: ``jnp.asarray`` on
-    a complex numpy array would be an eager complex UPLOAD, the exact
-    transport hazard this module exists to avoid."""
+    Already-host numpy arrays AND numpy scalars pass through untouched:
+    ``jnp.asarray`` on a complex numpy array would be an eager complex
+    UPLOAD, the exact transport hazard this module exists to avoid --
+    and on TPU (no x64) a float64/int64 scalar would silently truncate
+    to 32 bits on the device round-trip (this bit the split-driver
+    checkpoint's target validation on hardware, round 4)."""
     if isinstance(x, np.ndarray):
         return x
+    if isinstance(x, np.generic):
+        return np.asarray(x)
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
         re, im = _split(x)
