@@ -70,6 +70,17 @@ def compile_unit(unit: str):
             merged_linesearch="auto" if unit == "solver_merged" else "off"))
         fn = jax.jit(_cg.run_impl, static_argnums=(0, 1))
         return fn.lower(G, opts, data_s, psi_s, scan_s, prb_s, None, None)
+    if unit in ("solver_while", "solver_while_mx", "solver_while_lbfgs"):
+        # The while-loop form (target early-exit + stall stop) the real
+        # bench/driver compiles, at the round-3-era and current tiers.
+        kern = "fused_mx" if unit.endswith("mx") else "fused"
+        opts = _cg.normalize_options(_cg.CGOptions(
+            kernel=kern, piter=512, target_residual=1e-6,
+            direction="lbfgs" if unit.endswith("lbfgs") else "dy",
+            carry_state=unit.endswith("lbfgs"),
+            carry_lbfgs=unit.endswith("lbfgs")))
+        fn = jax.jit(_cg.run_impl, static_argnums=(0, 1))
+        return fn.lower(G, opts, data_s, psi_s, scan_s, prb_s, None, None)
     raise SystemExit(f"unknown unit {unit!r}")
 
 

@@ -137,11 +137,15 @@ def _positions_per_step(nmodes: int) -> int:
     # temporaries. P=8 measured fastest with the v2 addressing + merged
     # line search (348 vs 148 iters/s at P=16 on the 512^2/16k headline;
     # the smaller live set double-buffers better now that the kernel is
-    # MXU-bound). The env knob exists for re-tuning sweeps on hardware,
-    # but values 4/16/32 measured PATHOLOGICAL (>8 min) Mosaic compiles
-    # with the merged solver on v5e -- on a tunneled TPU that silently
-    # wedges the process (VERDICT r2 weak #4), so unverified values are
-    # rejected with a loud warning unless explicitly forced.
+    # MXU-bound). The env knob exists for re-tuning sweeps on hardware.
+    # Values 4/16/32 once measured PATHOLOGICAL (>8 min) Mosaic compiles
+    # with the merged solver on v5e; the round-4 isolation sweep
+    # (benchmarks/mosaic_compile_probe.py: every kernel and solver form
+    # at P in {4,8,16,32}) could NOT reproduce it -- worst 29.5 s -- so
+    # it was an earlier-era libtpu/kernel-structure artifact (see
+    # docs/design.md). The guard stays because non-8 values remain
+    # verified-slower at runtime and a recurrence would wedge a tunneled
+    # session: unverified values warn and fall back unless forced.
     frames = int(os.environ.get("TIKEJAX_FRAMES_PER_STEP", "8"))
     if frames != 8 and not int(os.environ.get(
             "TIKEJAX_FRAMES_PER_STEP_FORCE", "0")):
@@ -428,11 +432,39 @@ def _probe_args(prb, v2):
     return [bre, bim], [spec, spec]
 
 
-def _object_args(psi, nprb, v2):
-    """(args, spec, (hz, wn)) for the margin-padded object planes."""
+# The fused kernels keep the WHOLE padded object plane pair (and, in the
+# gradient mega-kernel, the gradient accumulator pair too) resident in
+# VMEM -- that is what makes the per-position gather/scatter free of HBM
+# round-trips. It also caps the object size: v5e's scoped VMEM is 16 MB,
+# and ~4 MB goes to frame workspace (measured: the 1024^2 grad kernel
+# asked for 22.58 MB = 4 x 4.75 MB planes + 3.6 MB workspace and was
+# rejected by Mosaic; BASELINE.md round 4). Reject oversized objects
+# with an actionable error instead of a deep Mosaic stack-OOM.
+_VMEM_BYTES = 16 << 20
+_VMEM_WORKSPACE = 4 << 20
+
+
+def _check_obj_vmem(hz, wn, planes, what):
+    need = planes * hz * wn * 4 + _VMEM_WORKSPACE
+    if need > _VMEM_BYTES:
+        raise ValueError(
+            f"object too large for the fused '{what}' kernel: {planes} "
+            f"resident f32 object planes of {hz}x{wn} (padded) need "
+            f"~{need / 2**20:.1f} MB of the ~{_VMEM_BYTES / 2**20:.0f} MB "
+            "VMEM (the fused kernels hold the whole object on-chip). "
+            "Use kernel='xla' for large single-device objects, or shard "
+            "the object into slabs with tikejax.parallel.run_tiled "
+            "(each slab's resident plane is owned-rows + halo only)")
+
+
+def _object_args(psi, nprb, v2, planes=2, what="fused"):
+    """(args, spec, (hz, wn)) for the margin-padded object planes.
+    ``planes`` is the caller's total count of VMEM-resident object-sized
+    f32 planes (inputs + accumulators) for the size guard."""
     t, nz, n = psi.shape
     wh, ww = _win(nprb, v2)
     hz, wn = nz + wh - nprb, n + ww - nprb
+    _check_obj_vmem(hz, wn, planes, what)
     pre, pim = (_pad_object(a, nprb, (wh, ww)) for a in _split_c64(psi))
     spec = pl.BlockSpec((1, hz, wn), lambda i, j, *_: (i, 0, 0))
     return [pre, pim], spec, (hz, wn)
@@ -610,6 +642,7 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
     fac_args, fac_specs = _factor_args(ndet, nprb, v2)
     wh, ww = _win(nprb, v2)
     hz, wn = nz + wh - nprb, n + ww - nprb
+    _check_obj_vmem(hz, wn, 2, "adj")
 
     frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
                               lambda i, j, *_: (i, j, 0, 0, 0))
@@ -863,6 +896,7 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
     fac_args, fac_specs = _factor_args(ndet, nprb, v2)
     wh, ww = _win(nprb, v2)
     hz, wn = nz + wh - nprb, n + ww - nprb
+    _check_obj_vmem(hz, wn, 2, "adj_residual")
 
     frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
                               lambda i, j, *_: (i, j, 0, 0, 0))
@@ -1132,7 +1166,9 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
-    obj_args, obj_spec, (hz, wn) = _object_args(psi, nprb, v2)
+    obj_args, obj_spec, (hz, wn) = _object_args(psi, nprb, v2,
+                                            planes=4,
+                                            what="grad")
     dat = _pad_axis1(data.astype(jnp.float32), s_pad)
     prb_args, prb_specs = _probe_args(prb, v2)
     fac_args, fac_specs = _factor_args(ndet, nprb, v2)
