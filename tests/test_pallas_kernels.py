@@ -240,19 +240,30 @@ def test_sentinel_masked_positions(rng, kern):
 
 
 def test_frames_per_step_guard(monkeypatch):
-    """Unverified TIKEJAX_FRAMES_PER_STEP values (compile-time cliff on
-    v5e) are rejected with a loud warning and fall back to 8 unless
-    explicitly forced (VERDICT r2 weak #4)."""
+    """Frames-per-step defaults are tier-dependent since the round-4
+    re-sweep (single-pass 16, multi-pass Karatsuba 32); env overrides
+    off the measured default warn and fall back unless forced."""
     from tikejax.ops import pallas_fused
 
+    monkeypatch.delenv("TIKEJAX_FRAMES_PER_STEP", raising=False)
+    # Measured tier defaults (the TPU path; interpret mode clamps to 8).
+    assert pallas_fused._default_frames() == 16
+    assert pallas_fused._default_frames("kara_x3") == 32
+    assert pallas_fused._default_frames("kara_hp") == 16
+    assert pallas_fused._default_frames("bf16") == 16
+    # On the CPU-interpret test platform the default clamps to 8.
+    assert pallas_fused._positions_per_step(1) == 8
+    assert pallas_fused._positions_per_step(4) == 2
+
     monkeypatch.setenv("TIKEJAX_FRAMES_PER_STEP", "16")
-    with pytest.warns(UserWarning, match="verified"):
+    with pytest.warns(UserWarning, match="tier default"):
         assert pallas_fused._positions_per_step(1) == 8
     monkeypatch.setenv("TIKEJAX_FRAMES_PER_STEP_FORCE", "1")
     assert pallas_fused._positions_per_step(1) == 16
+    # The env value matching the default is accepted silently.
     monkeypatch.delenv("TIKEJAX_FRAMES_PER_STEP_FORCE")
     monkeypatch.setenv("TIKEJAX_FRAMES_PER_STEP", "8")
-    assert pallas_fused._positions_per_step(4) == 2
+    assert pallas_fused._positions_per_step(1, "kara_x3") == 8
 
 
 def test_fused_mx_asymmetric_tier(rng):

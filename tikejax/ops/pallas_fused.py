@@ -132,32 +132,48 @@ def _win(nprb, v2):
     return _window_hw2(nprb) if v2 else _window_hw(nprb)
 
 
-def _positions_per_step(nmodes: int) -> int:
+def _default_frames(precision=None) -> int:
+    """Measured frames-per-step default for a kernel whose DFT half runs
+    at ``precision`` (round-4 re-sweep on the 512^2/16k headline; the
+    original global P=8 predated the current kernel structure and was
+    badly stale -- BASELINE.md). Identical trajectories throughout:
+    single-pass tier 62.8 iters/s at 16 frames vs 41.5 at 8 (+51%; 32
+    collapses to 33.2 -- past the VMEM double-buffering sweet spot for
+    the shallow 1-pass pipeline); fused_mx (kara_x3 forward) 75.0 vs
+    71.2 official-bench iters/s at 32 vs 8 (16: between); fused_hp
+    (kara_hp) 28.8 at 16 vs 28.6 at 8 vs 25.7 at 32 -- the deepest
+    pipeline is MXU-saturated and insensitive, 16 wins marginally."""
+    return 32 if precision == "kara_x3" else 16
+
+
+def _positions_per_step(nmodes: int, precision=None) -> int:
     # P * nmodes frame-sized f32 pairs live in VMEM per step plus matmul
-    # temporaries. P=8 measured fastest with the v2 addressing + merged
-    # line search (348 vs 148 iters/s at P=16 on the 512^2/16k headline;
-    # the smaller live set double-buffers better now that the kernel is
-    # MXU-bound). The env knob exists for re-tuning sweeps on hardware.
-    # Values 4/16/32 once measured PATHOLOGICAL (>8 min) Mosaic compiles
-    # with the merged solver on v5e; the round-4 isolation sweep
-    # (benchmarks/mosaic_compile_probe.py: every kernel and solver form
-    # at P in {4,8,16,32}) could NOT reproduce it -- worst 29.5 s -- so
-    # it was an earlier-era libtpu/kernel-structure artifact (see
-    # docs/design.md). The guard stays because non-8 values remain
-    # verified-slower at runtime and a recurrence would wedge a tunneled
-    # session: unverified values warn and fall back unless forced.
-    frames = int(os.environ.get("TIKEJAX_FRAMES_PER_STEP", "8"))
-    if frames != 8 and not int(os.environ.get(
+    # temporaries; the default is tier-dependent (_default_frames).
+    # TIKEJAX_FRAMES_PER_STEP overrides for re-tuning sweeps; off-default
+    # values warn-and-fallback unless FORCE=1 (the round-2/3 >8-min
+    # Mosaic-compile pathology behind the original guard did NOT
+    # reproduce in the round-4 isolation sweep -- see
+    # benchmarks/mosaic_compile_probe.py and docs/design.md -- but a
+    # recurrence would wedge a tunneled session, so unswept values stay
+    # gated). Interpret mode (CPU tests) clamps to 8: the interpreter's
+    # cost scales with the per-step unroll, and grid chunking is
+    # correctness-orthogonal (every chunking is the same program).
+    default = _default_frames(precision)
+    if _interpret():
+        default = 8
+    env = os.environ.get("TIKEJAX_FRAMES_PER_STEP")
+    frames = default if env is None else int(env)
+    if frames != default and not int(os.environ.get(
             "TIKEJAX_FRAMES_PER_STEP_FORCE", "0")):
         import warnings
 
         warnings.warn(
-            f"TIKEJAX_FRAMES_PER_STEP={frames} is not the verified value "
-            "(8): values 4/16/32 hit pathological >8-minute Mosaic "
-            "compiles with the merged solver on v5e. Falling back to 8; "
-            "set TIKEJAX_FRAMES_PER_STEP_FORCE=1 for tuning sweeps that "
-            "accept the compile-time risk.", stacklevel=2)
-        frames = 8
+            f"TIKEJAX_FRAMES_PER_STEP={frames} overrides the measured "
+            f"tier default ({default} for forward precision "
+            f"{precision!r}); falling back. Set "
+            "TIKEJAX_FRAMES_PER_STEP_FORCE=1 for tuning sweeps that "
+            "accept unswept compile/runtime behavior.", stacklevel=2)
+        frames = default
     return max(1, frames // nmodes)
 
 
@@ -534,7 +550,7 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -631,7 +647,7 @@ def adj(farplane: jax.Array, scan_int: jax.Array, prb: jax.Array, nz: int,
     t, s, nmodes, ndet, _ = farplane.shape
     nprb = prb.shape[-1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -738,7 +754,7 @@ def adj_probe(farplane: jax.Array, scan_int: jax.Array, psi: jax.Array,
     """
     t, s, nmodes, ndet, _ = farplane.shape
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -883,7 +899,7 @@ def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
     t, s, nmodes, ndet, _ = farplane.shape
     nprb = prb.shape[-1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -1001,7 +1017,7 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     t, s, nmodes, ndet, _ = fpsi.shape
     nprb = prb.shape[-1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -1162,7 +1178,7 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -1290,7 +1306,7 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -1418,7 +1434,7 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes)
+    P = _positions_per_step(nmodes, precision)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
