@@ -125,7 +125,17 @@ def simulate_intensities(psi: jax.Array, scan: jax.Array, prb: jax.Array,
     # Simulation runs once; use the most accurate operator available so
     # the generated data does not inherit the fast path's f32 DFT noise
     # (which would floor every reconstruction's residual at ~1e-3).
-    kern = "fused_hp" if jax.default_backend() == "tpu" else "xla"
+    # Oversized objects (the fused forward holds the whole padded object
+    # pair in VMEM -- BASELINE.md round 4 "LIMIT FOUND") fall back to
+    # the XLA oracle, which gathers per-position patches and has no
+    # object-size cap; simulation runs once, so its lower throughput is
+    # irrelevant.
+    from tikejax.ops import pallas_fused
+
+    nz, n = psi.shape[-2:]
+    kern = ("fused_hp" if jax.default_backend() == "tpu"
+            and pallas_fused.obj_planes_fit(nz, n, prb.shape[-1], 2)
+            else "xla")
 
     def intensity(scan_c):
         far = fwd_raw(psi, scan_c, prb, ndet, kernel=kern)

@@ -460,6 +460,20 @@ _VMEM_BYTES = 16 << 20
 _VMEM_WORKSPACE = 4 << 20
 
 
+def obj_planes_fit(nz: int, n: int, nprb: int, planes: int = 4,
+                   addressing: str | None = None) -> bool:
+    """Whether an ``(nz, n)`` object fits the fused kernels' VMEM budget
+    with ``planes`` resident object-sized f32 planes (4 for the gradient
+    mega-kernel: object pair + accumulator pair; 2 elsewhere). The
+    callable face of the ``_check_obj_vmem`` guard -- the solver uses it
+    to auto-select row-slab streaming (ops.slabs) for oversized
+    objects."""
+    v2 = _is_v2(addressing)
+    wh, ww = _win(nprb, v2)
+    hz, wn = nz + wh - nprb, n + ww - nprb
+    return planes * hz * wn * 4 + _VMEM_WORKSPACE <= _VMEM_BYTES
+
+
 def _check_obj_vmem(hz, wn, planes, what):
     need = planes * hz * wn * 4 + _VMEM_WORKSPACE
     if need > _VMEM_BYTES:

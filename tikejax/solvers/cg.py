@@ -218,7 +218,13 @@ class CGOptions:
     #     deep fp32 tail (the vertex chases objective noise; 8.6e-5 vs
     #     1.7e-5 at 512 fused_hp iters); kept opt-in.
     #   'auto' (default) -- 'backtracking' on the deep-residual tiers
-    #     (fused_mp / fused_hp), 'interp' otherwise.
+    #     (fused_mp / fused_hp and the asymmetric mx/hx), 'interp'
+    #     otherwise. The mx rule is MEASURED, not inherited: the
+    #     round-4 headline A/B (benchmarks/ls_ab.py, 3 consistent
+    #     windows each) put interp-on-mx at 40.5 iters/s vs 74.9
+    #     backtracking WITH a worse trajectory (res@400 7.7e-5 vs
+    #     2.8e-5) -- the clipped model steps under-step so the 4x
+    #     regrow re-rejects every iteration, doubling evals/iter.
     linesearch: str = "auto"
     # Farplane policy on the fused kernel paths: 'frameless' computes
     # every farplane frame in VMEM inside the kernels and NEVER
@@ -267,6 +273,21 @@ class CGOptions:
     # iterations return. At 1e-6 it is wall-neutral (33.2 vs 33.7 s
     # within one transport mode). Kept opt-in, default off.
     carry_lbfgs: bool = False
+    # Object ROW-SLAB streaming for oversized objects (ops.slabs): the
+    # fused kernels hold the whole padded object (+ the gradient
+    # accumulator) in VMEM, capping the object height (~768 rows at
+    # 512+ columns on v5e -- BASELINE.md round 4 "LIMIT FOUND"). With
+    # obj_slabs = D > 1 every mega-kernel call becomes a lax.scan over
+    # D row slabs of the object (positions pre-sorted by owner slab,
+    # sentinel-padded -- run() applies the host partition); identical
+    # FLOPs, one kernel compile, object size bound by HBM instead of
+    # VMEM (width still capped: the slab keeps full rows). run()
+    # AUTO-selects the smallest fitting D when the object overflows the
+    # VMEM budget, so large single-chip objects just work; set
+    # explicitly to force. Requires the frameless fused path with
+    # nchunks == 1 and no mesh axes (shard a mesh with
+    # parallel.run_tiled instead).
+    obj_slabs: int = 1
 
 
 def _lbfgs_memory(direction: str) -> int:
@@ -520,6 +541,34 @@ class _Engine:
                        and not o.fused_linesearch
                        and diffraction.resolve_kernel(
                            o.kernel).startswith("fused"))
+        # Object row-slab streaming (ops.slabs) for objects whose fused
+        # kernels overflow VMEM: only defined for the frameless fused
+        # path on a slab-partitioned problem (run() applies the host
+        # partition; mesh axes shard the problem their own way).
+        if o.obj_slabs < 1:
+            raise ValueError(f"obj_slabs must be >= 1, got {o.obj_slabs}")
+        if o.obj_slabs > 1:
+            if not diffraction.resolve_kernel(o.kernel).startswith(
+                    "fused"):
+                raise ValueError("obj_slabs > 1 requires a fused kernel "
+                                 "tier (the XLA/hybrid paths are not "
+                                 "VMEM-capped)")
+            if not self.frameless:
+                raise ValueError("obj_slabs > 1 requires the frameless "
+                                 "memory policy (memory='auto' or "
+                                 "'frameless')")
+            if o.nchunks != 1:
+                raise ValueError("obj_slabs > 1 already streams the "
+                                 "positions slab-by-slab; combine with "
+                                 "nchunks == 1")
+            if (o.axis_name is not None or o.obj_axis_name is not None
+                    or o.theta_axis_name is not None):
+                raise ValueError("obj_slabs composes with single-device "
+                                 "runs only; on a mesh use "
+                                 "parallel.run_tiled (P3 object tiling)")
+            if g.nz % o.obj_slabs:
+                raise ValueError(f"obj_slabs ({o.obj_slabs}) must divide "
+                                 f"nz ({g.nz})")
         # Split-operator refinement mode (mixed precision): psi is a small
         # correction delta on top of a frozen base whose farplane f_base
         # was computed ONCE with an accurate kernel. The per-iteration
@@ -613,11 +662,20 @@ class _Engine:
                     # adjoint in one pass; the farplane never exists in
                     # HBM (large nscan x nmodes regime). In split mode
                     # the frozen base farplane rides in as a kernel
-                    # input.
-                    gpsi, f0 = pallas_fused.grad_fused(
-                        psi, data, scan_i, prb, self.g.ndet, o.model,
-                        precision=prec, base=self.f_base,
-                        adj_precision=adj_prec)
+                    # input. Oversized objects stream over row slabs
+                    # (ops.slabs) -- same kernel, VMEM-sized sub-object.
+                    if o.obj_slabs > 1:
+                        from tikejax.ops import slabs as _slabs
+
+                        gpsi, f0 = _slabs.grad_fused_slabs(
+                            psi, data, scan_i, prb, self.g.ndet, o.model,
+                            o.obj_slabs, precision=prec,
+                            base=self.f_base, adj_precision=adj_prec)
+                    else:
+                        gpsi, f0 = pallas_fused.grad_fused(
+                            psi, data, scan_i, prb, self.g.ndet, o.model,
+                            precision=prec, base=self.f_base,
+                            adj_precision=adj_prec)
                 else:
                     # Materialize G(psi) once (reused by the line-search
                     # statistics pass), then the fused gradient tail
@@ -634,12 +692,21 @@ class _Engine:
                 from tikejax.ops import patches as _patches
 
                 scan_i = _patches.scan_to_int(scan)
-                gprb, f0 = pallas_fused.grad_prb_fused(
-                    psi, data, scan_i, prb, self.g.ndet, o.model,
-                    precision=diffraction._fused_precision(
-                        diffraction.resolve_kernel(o.kernel)),
-                    adj_precision=diffraction._fused_adj_precision(
-                        diffraction.resolve_kernel(o.kernel)))
+                prec = diffraction._fused_precision(
+                    diffraction.resolve_kernel(o.kernel))
+                adj_prec = diffraction._fused_adj_precision(
+                    diffraction.resolve_kernel(o.kernel))
+                if o.obj_slabs > 1:
+                    from tikejax.ops import slabs as _slabs
+
+                    gprb, f0 = _slabs.grad_prb_fused_slabs(
+                        psi, data, scan_i, prb, self.g.ndet, o.model,
+                        o.obj_slabs, precision=prec,
+                        adj_precision=adj_prec)
+                else:
+                    gprb, f0 = pallas_fused.grad_prb_fused(
+                        psi, data, scan_i, prb, self.g.ndet, o.model,
+                        precision=prec, adj_precision=adj_prec)
             else:
                 fpsi = self._fwd_obj(psi, scan, prb)
                 f0 = self.minf_fn(fpsi, data)
@@ -742,20 +809,29 @@ class _Engine:
                     # which are 3 real farplanes: 13 GB at 64k x 128^2)
                     # ever touches HBM. FLOPs are re-spent per halving;
                     # frameless mode is MXU-bound by design.
+                    if o.obj_slabs > 1:
+                        from tikejax.ops import slabs as _slabs
+
+                        def minf_eval(p, b):
+                            return _slabs.minf_fused_slabs(
+                                p, data, scan_i, b, self.g.ndet, o.model,
+                                o.obj_slabs, precision=prec,
+                                base=self.f_base)
+                    else:
+                        def minf_eval(p, b):
+                            return pallas_fused.minf_fused(
+                                p, data, scan_i, b, self.g.ndet, o.model,
+                                precision=prec, base=self.f_base)
                     if dpsi is not None:
                         def f_of(gamma):
                             cand = psi + gamma.astype(psi.dtype) * dpsi
-                            return _psum(pallas_fused.minf_fused(
-                                cand, data, scan_i, prb, self.g.ndet,
-                                o.model, precision=prec,
-                                base=self.f_base), _scalar_axes(o))
+                            return _psum(minf_eval(cand, prb),
+                                         _scalar_axes(o))
                     else:
                         def f_of(gamma):
                             cand = prb + gamma.astype(prb.dtype) * dprb
-                            return _psum(pallas_fused.minf_fused(
-                                psi, data, scan_i, cand, self.g.ndet,
-                                o.model, precision=prec,
-                                base=self.f_base), _scalar_axes(o))
+                            return _psum(minf_eval(psi, cand),
+                                         _scalar_axes(o))
 
                     return f_of
                 elif dpsi is not None:
@@ -1563,6 +1639,36 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     elif kw:
         options = dataclasses.replace(options, **kw)
     options = normalize_options(options)
+
+    # Oversized objects: the fused kernels hold the whole object in
+    # VMEM, which caps its size (BASELINE.md round 4 "LIMIT FOUND").
+    # Auto-select row-slab streaming (ops.slabs, CGOptions.obj_slabs)
+    # for single-device runs instead of letting the kernel guard raise,
+    # and apply the host-side owner partition of the positions.
+    no_mesh = (options.axis_name is None and
+               options.obj_axis_name is None and
+               options.theta_axis_name is None)
+    if (no_mesh and options.nchunks == 1 and options.memory != "materialized"
+            and diffraction.resolve_kernel(options.kernel).startswith(
+                "fused")):
+        from tikejax.ops import pallas_fused, slabs as _slabs
+
+        nslab = options.obj_slabs
+        if nslab == 1 and not pallas_fused.obj_planes_fit(
+                geometry.nz, geometry.n, geometry.nprb, 4):
+            nslab = _slabs.choose_slabs(geometry.nz, geometry.n,
+                                        geometry.nprb, 4)
+            options = dataclasses.replace(options, obj_slabs=nslab)
+        if nslab > 1:
+            if isinstance(scan, jax.core.Tracer):
+                raise ValueError(
+                    "obj_slabs needs concrete scan positions for the "
+                    "host-side owner partition; call run() outside jit "
+                    "for slab-streamed objects")
+            scan, data, f_base, s_per = _slabs.partition_slabs(
+                scan, data, geometry, nslab, f_base=f_base)
+            geometry = dataclasses.replace(geometry,
+                                           nscan=nslab * s_per)
     return _run_cg_jit(geometry, options, data, psi0, scan, prb0, f_base,
                        cg_init)
 
