@@ -177,6 +177,42 @@ def _positions_per_step(nmodes: int, precision=None) -> int:
     return max(1, frames // nmodes)
 
 
+def _window_args(scan_int, data, P, scan_window):
+    """Resolve the scan-axis view of a mega-kernel call.
+
+    Without a window: pad the scan coordinates to a multiple of P (the
+    tail is masked by s_actual) and index data/base blocks at grid j.
+    With ``scan_window=(start, count)`` (both multiples of P, on arrays
+    whose scan axis is itself a multiple of P): slice only the tiny
+    scalar coordinate arrays and leave the block-shaped data/base
+    operands FULL -- their BlockSpec index maps add ``start // P`` (a
+    prefetch scalar) to the grid index, so no per-window slice of the
+    frame-sized arrays ever materializes in HBM. This is the zero-copy
+    row-slab streaming path (ops.slabs): the first cut sliced the data
+    per slab and the slice copies alone cost ~10 ms/iter at the
+    headline scale (512x2 probe, round 4).
+
+    Returns ``(sy, sx, off_blocks, s_actual, s_pad)``.
+    """
+    if scan_window is None:
+        s = scan_int.shape[1]
+        s_pad = -(-s // P) * P
+        sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
+        sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+        return sy, sx, 0, s, s_pad
+    w0, wl = scan_window
+    if w0 % P or wl % P or data.shape[1] % P:
+        raise ValueError(
+            f"scan_window {scan_window!r} and the data scan axis "
+            f"{data.shape[1]} must all be multiples of the kernel's "
+            f"frames-per-step P={P}; build the slab partition with an "
+            "aligned pad (ops.slabs.partition_slabs(align=...))")
+    win = scan_int[:, w0:w0 + wl]
+    sy = win[..., 0].astype(jnp.int32)
+    sx = win[..., 1].astype(jnp.int32)
+    return sy, sx, w0 // P, wl, wl
+
+
 @functools.lru_cache(maxsize=None)
 def _dft_factors_np(ndet: int, nprb: int):
     u = np.arange(ndet)[:, None]
@@ -460,18 +496,39 @@ _VMEM_BYTES = 16 << 20
 _VMEM_WORKSPACE = 4 << 20
 
 
+def frames_workspace_bytes(nmodes: int, ndet: int, nprb: int,
+                           precision=None,
+                           addressing: str | None = None) -> int:
+    """Estimated per-step frame workspace of a mega-kernel: the
+    P*nmodes row-extended frame pairs the phase-separated pipeline
+    keeps live between its DFT and pointwise phases. The planes-only
+    model in :func:`obj_planes_fit` undercounted exactly this term --
+    a 2048^2/16-slab gradient kernel passed it at 13.2 MB modeled and
+    was rejected by Mosaic at 16.52 MB scoped (round 4) -- so the slab
+    auto-selection adds it. An ESTIMATE, not an oracle (Mosaic's
+    scheduler owns the truth): the solver backstops marginal picks by
+    retrying with more slabs on a scoped-vmem compile rejection."""
+    P = _positions_per_step(nmodes, precision)
+    wh = _win(nprb, _is_v2(addressing))[0]
+    return 2 * P * nmodes * ndet * wh * 4
+
+
 def obj_planes_fit(nz: int, n: int, nprb: int, planes: int = 4,
-                   addressing: str | None = None) -> bool:
+                   addressing: str | None = None,
+                   extra_bytes: int = 0) -> bool:
     """Whether an ``(nz, n)`` object fits the fused kernels' VMEM budget
     with ``planes`` resident object-sized f32 planes (4 for the gradient
-    mega-kernel: object pair + accumulator pair; 2 elsewhere). The
+    mega-kernel: object pair + accumulator pair; 2 elsewhere) plus
+    ``extra_bytes`` of modeled workspace beyond the fixed allowance
+    (pass :func:`frames_workspace_bytes` for slab selection). The
     callable face of the ``_check_obj_vmem`` guard -- the solver uses it
     to auto-select row-slab streaming (ops.slabs) for oversized
     objects."""
     v2 = _is_v2(addressing)
     wh, ww = _win(nprb, v2)
     hz, wn = nz + wh - nprb, n + ww - nprb
-    return planes * hz * wn * 4 + _VMEM_WORKSPACE <= _VMEM_BYTES
+    return (planes * hz * wn * 4 + extra_bytes
+            + _VMEM_WORKSPACE <= _VMEM_BYTES)
 
 
 def _check_obj_vmem(hz, wn, planes, what):
@@ -1076,8 +1133,8 @@ def fwd_quad_stats(dpsi: jax.Array, scan_int: jax.Array, prb: jax.Array,
 
 
 def _grad_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
-                 has_base, v2, sy, sx, f1r, f1i, fcr, fci, pre, pim, dat,
-                 bre, bim, *rest):
+                 has_base, v2, sy, sx, off, f1r, f1i, fcr, fci, pre, pim,
+                 dat, bre, bim, *rest):
     if has_base:
         zre, zim, ore, oim, fsum = rest
     else:
@@ -1172,7 +1229,8 @@ def _grad_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
 def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                prb: jax.Array, ndet: int, model: str, precision=None,
                base: jax.Array | None = None,
-               addressing: str | None = None, adj_precision=None):
+               addressing: str | None = None, adj_precision=None,
+               scan_window: tuple[int, int] | None = None):
     """Full likelihood gradient w.r.t. the object plus the objective in a
     single kernel pass (no farplane in HBM). With ``base``, the forward
     field is G(psi) + base (split-operator refinement: psi is a small
@@ -1190,31 +1248,34 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     """
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
-    s = scan_int.shape[1]
     v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes, precision)
-    s_pad = -(-s // P) * P
-    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
-    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    sy, sx, off0, s_act, s_pad = _window_args(scan_int, data, P,
+                                              scan_window)
+    off = jnp.full((1,), off0, jnp.int32)
     obj_args, obj_spec, (hz, wn) = _object_args(psi, nprb, v2,
                                             planes=4,
                                             what="grad")
-    dat = _pad_axis1(data.astype(jnp.float32), s_pad)
+    dat = (data.astype(jnp.float32) if scan_window is not None
+           else _pad_axis1(data.astype(jnp.float32), s_pad))
     prb_args, prb_specs = _probe_args(prb, v2)
     fac_args, fac_specs = _factor_args(ndet, nprb, v2)
 
-    data_spec = pl.BlockSpec((1, P, ndet, ndet),
-                             lambda i, j, *_: (i, j, 0, 0))
+    data_spec = pl.BlockSpec(
+        (1, P, ndet, ndet),
+        lambda i, j, sy, sx, off: (i, off[0] + j, 0, 0))
     in_specs = fac_specs + [obj_spec, obj_spec, data_spec] + prb_specs
-    args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
+    args = [sy, sx, off] + fac_args + obj_args + [dat] + prb_args
     if base is not None:
-        frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                                  lambda i, j, *_: (i, j, 0, 0, 0))
+        frame_spec = pl.BlockSpec(
+            (1, P, nmodes, ndet, ndet),
+            lambda i, j, sy, sx, off: (i, off[0] + j, 0, 0, 0))
         in_specs += [frame_spec, frame_spec]
-        args += [_pad_axis1(a, s_pad) for a in _base_split(base)]
+        args += [a if scan_window is not None else _pad_axis1(a, s_pad)
+                 for a in _base_split(base)]
     fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t, s_pad // P),
         in_specs=in_specs,
         out_specs=[
@@ -1231,8 +1292,8 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_kernel, P, nmodes, nprb, model,
                           precision or PRECISION,
-                          adj_precision or precision or PRECISION, s,
-                          base is not None, v2),
+                          adj_precision or precision or PRECISION,
+                          s_act, base is not None, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -1241,8 +1302,8 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
 
 
 def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
-                 sy, sx, f1r, f1i, fcr, fci, pre, pim, dat, bre, bim,
-                 *rest):
+                 sy, sx, off, f1r, f1i, fcr, fci, pre, pim, dat, bre,
+                 bim, *rest):
     if has_base:
         zre, zim, fsum = rest
     else:
@@ -1305,7 +1366,8 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
 def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                prb: jax.Array, ndet: int, model: str, precision=None,
                base: jax.Array | None = None,
-               addressing: str | None = None):
+               addressing: str | None = None,
+               scan_window: tuple[int, int] | None = None):
     """Objective evaluation with NOTHING farplane-sized in HBM: every
     frame is produced by the MXU DFT in VMEM and reduced into the SMEM
     accumulator on the spot. This is the fully-frameless line-search
@@ -1318,29 +1380,32 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     """
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
-    s = scan_int.shape[1]
     v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes, precision)
-    s_pad = -(-s // P) * P
-    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
-    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    sy, sx, off0, s_act, s_pad = _window_args(scan_int, data, P,
+                                              scan_window)
+    off = jnp.full((1,), off0, jnp.int32)
     obj_args, obj_spec, _ = _object_args(psi, nprb, v2)
-    dat = _pad_axis1(data.astype(jnp.float32), s_pad)
+    dat = (data.astype(jnp.float32) if scan_window is not None
+           else _pad_axis1(data.astype(jnp.float32), s_pad))
     prb_args, prb_specs = _probe_args(prb, v2)
     fac_args, fac_specs = _factor_args(ndet, nprb, v2)
 
-    data_spec = pl.BlockSpec((1, P, ndet, ndet),
-                             lambda i, j, *_: (i, j, 0, 0))
+    data_spec = pl.BlockSpec(
+        (1, P, ndet, ndet),
+        lambda i, j, sy, sx, off: (i, off[0] + j, 0, 0))
     in_specs = fac_specs + [obj_spec, obj_spec, data_spec] + prb_specs
-    args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
+    args = [sy, sx, off] + fac_args + obj_args + [dat] + prb_args
     if base is not None:
-        frame_spec = pl.BlockSpec((1, P, nmodes, ndet, ndet),
-                                  lambda i, j, *_: (i, j, 0, 0, 0))
+        frame_spec = pl.BlockSpec(
+            (1, P, nmodes, ndet, ndet),
+            lambda i, j, sy, sx, off: (i, off[0] + j, 0, 0, 0))
         in_specs += [frame_spec, frame_spec]
-        args += [_pad_axis1(a, s_pad) for a in _base_split(base)]
+        args += [a if scan_window is not None else _pad_axis1(a, s_pad)
+                 for a in _base_split(base)]
     fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t, s_pad // P),
         in_specs=in_specs,
         out_specs=[
@@ -1350,8 +1415,8 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     out_shape = [fshape]
     (fsum,) = pl.pallas_call(
         functools.partial(_minf_kernel, P, nmodes, nprb, model,
-                          precision or PRECISION, s, base is not None,
-                          v2),
+                          precision or PRECISION, s_act,
+                          base is not None, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),
@@ -1367,8 +1432,8 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
 
 
 def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
-                     v2, sy, sx, f1r, f1i, fcr, fci, pre, pim, dat, bre,
-                     bim, ore, oim, fsum):
+                     v2, sy, sx, off, f1r, f1i, fcr, fci, pre, pim, dat,
+                     bre, bim, ore, oim, fsum):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -1435,7 +1500,8 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
 
 def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                    prb: jax.Array, ndet: int, model: str, precision=None,
-                   addressing: str | None = None, adj_precision=None):
+                   addressing: str | None = None, adj_precision=None,
+                   scan_window: tuple[int, int] | None = None):
     """Full likelihood gradient w.r.t. the probe plus the objective in a
     single kernel pass (no farplane in HBM). ``adj_precision`` selects
     the IDFT precision separately (see :func:`grad_fused`).
@@ -1446,14 +1512,14 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     """
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
-    s = scan_int.shape[1]
     v2 = _is_v2(addressing)
     P = _positions_per_step(nmodes, precision)
-    s_pad = -(-s // P) * P
-    sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
-    sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
+    sy, sx, off0, s_act, s_pad = _window_args(scan_int, data, P,
+                                              scan_window)
+    off = jnp.full((1,), off0, jnp.int32)
     obj_args, obj_spec, _ = _object_args(psi, nprb, v2)
-    dat = _pad_axis1(data.astype(jnp.float32), s_pad)
+    dat = (data.astype(jnp.float32) if scan_window is not None
+           else _pad_axis1(data.astype(jnp.float32), s_pad))
     prb_args, prb_specs = _probe_args(prb, v2)
     fac_args, fac_specs = _factor_args(ndet, nprb, v2)
     wh = _win(nprb, v2)[0]
@@ -1466,11 +1532,12 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         out_dims = (t, nmodes, nprb, nprb)
         out_spec = pl.BlockSpec((1, nmodes, nprb, nprb),
                                 lambda i, j, *_: (i, 0, 0, 0))
-    data_spec = pl.BlockSpec((1, P, ndet, ndet),
-                             lambda i, j, *_: (i, j, 0, 0))
+    data_spec = pl.BlockSpec(
+        (1, P, ndet, ndet),
+        lambda i, j, sy, sx, off: (i, off[0] + j, 0, 0))
     fshape, fspec = _minf_out(t, s_pad // P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t, s_pad // P),
         in_specs=(fac_specs + [obj_spec, obj_spec, data_spec]
                   + prb_specs),
@@ -1485,12 +1552,12 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
         jax.ShapeDtypeStruct(out_dims, jnp.float32),
         fshape,
     ]
-    args = [sy, sx] + fac_args + obj_args + [dat] + prb_args
+    args = [sy, sx, off] + fac_args + obj_args + [dat] + prb_args
     ore, oim, fsum = pl.pallas_call(
         functools.partial(_grad_prb_kernel, P, nmodes, nprb, model,
                           precision or PRECISION,
-                          adj_precision or precision or PRECISION, s,
-                          v2),
+                          adj_precision or precision or PRECISION,
+                          s_act, v2),
         grid_spec=grid_spec,
         out_shape=_with_vma(out_shape, args),
         interpret=_interpret(),

@@ -53,18 +53,30 @@ from jax import lax
 from tikejax.ops import pallas_fused
 
 
-def choose_slabs(nz: int, n: int, nprb: int, planes: int = 4) -> int:
-    """Smallest slab count ``D`` (dividing ``nz``) whose ``nz/D + nprb``
-    row sub-object fits the fused kernels' VMEM budget with ``planes``
-    resident object-sized f32 planes. Returns 1 when the whole object
-    already fits; raises when even the thinnest slab is too WIDE (the
-    slab keeps full rows -- use parallel.run_tiled across a mesh)."""
-    if pallas_fused.obj_planes_fit(nz, n, nprb, planes):
+def choose_slabs(nz: int, n: int, nprb: int, planes: int = 4,
+                 nmodes: int = 1, ndet: int | None = None,
+                 precision=None, start: int = 1) -> int:
+    """Smallest slab count ``D >= start`` (dividing ``nz``) whose
+    ``nz/D + nprb`` row sub-object fits the fused kernels' VMEM budget
+    with ``planes`` resident object-sized f32 planes plus the
+    P-dependent frame workspace (pass ``nmodes``/``ndet``/``precision``
+    -- the planes-only model undercounted a 2048^2/16-slab kernel by
+    ~3.3 MB, round 4). Returns 1 when the whole object already fits;
+    raises when even the thinnest slab is too WIDE (the slab keeps full
+    rows -- use parallel.run_tiled across a mesh). ``start > 1``
+    resumes the search after a count Mosaic rejected (the solver's
+    compile-retry backstop)."""
+    extra = (pallas_fused.frames_workspace_bytes(nmodes, ndet, nprb,
+                                                 precision)
+             if ndet is not None else 0)
+    if start <= 1 and pallas_fused.obj_planes_fit(nz, n, nprb, planes,
+                                                  extra_bytes=extra):
         return 1
-    for d in range(2, nz // 8 + 1):
+    for d in range(max(2, start), nz // 8 + 1):
         if nz % d:
             continue
-        if pallas_fused.obj_planes_fit(nz // d + nprb, n, nprb, planes):
+        if pallas_fused.obj_planes_fit(nz // d + nprb, n, nprb, planes,
+                                       extra_bytes=extra):
             return d
     raise ValueError(
         f"object {nz}x{n} is too WIDE for row-slab streaming at probe "
@@ -73,7 +85,8 @@ def choose_slabs(nz: int, n: int, nprb: int, planes: int = 4) -> int:
         "tikejax.parallel.run_tiled instead")
 
 
-def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None):
+def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
+                    align: int = 32):
     """Host-side owner partition of the positions for slab streaming.
 
     Sorts positions (and their data frames / frozen base farplane
@@ -84,6 +97,13 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None):
     coordinates -- the slab wrappers localise rows on the fly -- so
     everything outside the kernels (preconditioners, metrics) works
     unchanged on the partitioned problem.
+
+    Each group is additionally padded up to a multiple of ``align``
+    (default 32: every production frames-per-step P divides it), which
+    lets the slab wrappers take the ZERO-COPY kernel path -- the
+    mega-kernels window the FULL data/base arrays via a prefetch-scalar
+    block offset (``pallas_fused._window_args``) instead of slicing a
+    slab's frames into a fresh HBM copy every call.
 
     Returns ``(scan_p, data_p, f_base_p, s_per)`` with scan axis length
     ``n_slabs * s_per``. ``scan`` must be concrete (host-reachable).
@@ -100,6 +120,7 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None):
     owner = np.clip(y // h, 0, n_slabs - 1)
     s_per = max(int(np.bincount(owner[ti], minlength=n_slabs).max())
                 for ti in range(t))
+    s_per = -(-s_per // align) * align
     order = np.full((t, n_slabs * s_per), -1, np.int64)
     for ti in range(t):
         for k in range(n_slabs):
@@ -127,13 +148,23 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None):
     return scan_p, data_p, f_base_p, s_per
 
 
-def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, kernel_call):
-    """Python-unrolled slab loop with STATIC slices: slab counts are
-    small (<= ~16) and static slicing lets XLA fuse the per-slab data
-    re-slices and overlap-adds instead of paying ``lax.scan``'s
-    dynamic xs slicing (a full data-sized copy per pass -- measured
-    slower, see grad_fused_slabs). Calls ``kernel_call(sub, datk, sck,
-    basek)`` per slab and returns the list of results."""
+def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
+                   kernel_call):
+    """Python-unrolled slab loop: slab counts are small (<= ~16) and
+    every slab call has identical static shapes, so the mega-kernel is
+    compiled ONCE. When the partition's per-slab group size is a
+    multiple of the kernel's frames-per-step ``P`` (partition_slabs
+    aligns to 32, which every production P divides), the loop takes the
+    ZERO-COPY path: the full data/base arrays ride into every call and
+    the kernel windows its slab via a prefetch-scalar block offset
+    (``scan_window=``), so nothing frame-sized is ever sliced into a
+    fresh HBM copy -- the earlier slicing variants paid the full data
+    array in r+w copy traffic per gradient call (lax.scan xs: 42.2
+    iters/s; unrolled static slices: 42.1; zero-copy window: see
+    BASELINE.md round 4) on the 512^2 headline forced through 2 slabs.
+    Only the object sub-plane (a few MB) and the tiny scan coordinates
+    are sliced per slab. Calls ``kernel_call(sub, datk, sck, basek,
+    window)`` per slab and returns the list of results."""
     t, nz, n = psi.shape
     s = scan_int.shape[1]
     if s % n_slabs:
@@ -144,17 +175,29 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, kernel_call):
     h = nz // n_slabs
     ext = h + nprb
     psi_p = jnp.pad(psi, ((0, 0), (0, ext - h), (0, 0)))
+    zero_copy = (s_per % P == 0)
+    if zero_copy:
+        # Localise the scan rows for ALL slabs in one vectorized pass
+        # over the (tiny) coordinate array; sentinels (y < 0) stay put.
+        y = scan_int[..., 0]
+        k_of = (jnp.arange(s, dtype=y.dtype) // s_per) * h
+        y_loc = jnp.where(y < 0, y, y - k_of[None, :])
+        scan_loc = jnp.stack([y_loc, scan_int[..., 1]], axis=-1)
     out = []
     for k in range(n_slabs):
+        sub = psi_p[:, k * h:k * h + ext]
+        if zero_copy:
+            out.append(kernel_call(sub, data, scan_loc, base,
+                                   (k * s_per, s_per)))
+            continue
         sl = slice(k * s_per, (k + 1) * s_per)
         sck = scan_int[:, sl]
         y = sck[..., 0]
         y_loc = jnp.where(y < 0, y, y - k * h)
         sck = jnp.stack([y_loc, sck[..., 1]], axis=-1)
-        sub = psi_p[:, k * h:k * h + ext]
         basek = (jax.tree.map(lambda b: b[:, sl], base)
                  if base is not None else None)
-        out.append(kernel_call(sub, data[:, sl], sck, basek))
+        out.append(kernel_call(sub, data[:, sl], sck, basek, None))
     return out
 
 
@@ -165,23 +208,25 @@ def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
     on objects whose gradient mega-kernel would overflow VMEM. Requires
     a slab-partitioned problem (see :func:`partition_slabs`).
 
-    The slab loop is PYTHON-UNROLLED (static slices): the first cut was
-    a ``lax.scan``, whose per-step xs slicing re-copied the slab's data
-    frames every pass -- measured 42.2 vs 74.9 iters/s on the 512^2
-    headline forced through 2 slabs (round 4); the unrolled form lets
-    XLA alias the static data re-slices instead."""
+    The slab loop is PYTHON-UNROLLED and ZERO-COPY on aligned
+    partitions (the default): data/base ride into every call whole and
+    the kernel windows its slab via a prefetch-scalar block offset --
+    see _slab_unrolled for the measured history of the slicing
+    variants it replaces."""
     t, nz, n = psi.shape
-    nprb = prb.shape[-1]
+    nmodes, nprb = prb.shape[-3], prb.shape[-1]
     h = nz // n_slabs
     ext = h + nprb
+    P = pallas_fused._positions_per_step(nmodes, precision)
 
-    def call(sub, datk, sck, basek):
+    def call(sub, datk, sck, basek, window):
         return pallas_fused.grad_fused(
             sub, datk, sck, prb, ndet, model, precision=precision,
             base=basek, addressing=addressing,
-            adj_precision=adj_precision)
+            adj_precision=adj_precision, scan_window=window)
 
-    outs = _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, call)
+    outs = _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
+                          call)
     acc = jnp.zeros((t, nz + nprb, n), psi.dtype)
     f = jnp.zeros((), jnp.float32)
     for k, (gslab, fk) in enumerate(outs):
@@ -195,13 +240,15 @@ def minf_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
                      addressing=None):
     """Slab-streamed :func:`pallas_fused.minf_fused` (frameless
     line-search objective) for oversized objects."""
-    def call(sub, datk, sck, basek):
+    P = pallas_fused._positions_per_step(prb.shape[-3], precision)
+
+    def call(sub, datk, sck, basek, window):
         return pallas_fused.minf_fused(
             sub, datk, sck, prb, ndet, model, precision=precision,
-            base=basek, addressing=addressing)
+            base=basek, addressing=addressing, scan_window=window)
 
     outs = _slab_unrolled(psi, scan_int, data, base, n_slabs,
-                          prb.shape[-1], call)
+                          prb.shape[-1], P, call)
     return sum(outs[1:], outs[0])
 
 
@@ -211,13 +258,16 @@ def grad_prb_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
     """Slab-streamed :func:`pallas_fused.grad_prb_fused` (joint probe
     recovery): probe gradients accumulate across slabs (the probe is
     global; each frame contributes once, in its owner slab)."""
-    def call(sub, datk, sck, basek):
+    P = pallas_fused._positions_per_step(prb.shape[-3], precision)
+
+    def call(sub, datk, sck, basek, window):
         return pallas_fused.grad_prb_fused(
             sub, datk, sck, prb, ndet, model, precision=precision,
-            addressing=addressing, adj_precision=adj_precision)
+            addressing=addressing, adj_precision=adj_precision,
+            scan_window=window)
 
     outs = _slab_unrolled(psi, scan_int, data, None, n_slabs,
-                          prb.shape[-1], call)
+                          prb.shape[-1], P, call)
     g = sum((o[0] for o in outs[1:]), outs[0][0])
     f = sum((o[1] for o in outs[1:]), outs[0][1])
     return g, f

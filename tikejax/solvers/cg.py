@@ -1644,33 +1644,63 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     # VMEM, which caps its size (BASELINE.md round 4 "LIMIT FOUND").
     # Auto-select row-slab streaming (ops.slabs, CGOptions.obj_slabs)
     # for single-device runs instead of letting the kernel guard raise,
-    # and apply the host-side owner partition of the positions.
+    # and apply the host-side owner partition of the positions. The
+    # VMEM fit model is an estimate (Mosaic's scheduler owns the
+    # truth), so a scoped-vmem compile rejection of a marginal pick is
+    # caught and retried at the next dividing slab count -- each slab
+    # is nearly free on the zero-copy window path.
     no_mesh = (options.axis_name is None and
                options.obj_axis_name is None and
                options.theta_axis_name is None)
-    if (no_mesh and options.nchunks == 1 and options.memory != "materialized"
-            and diffraction.resolve_kernel(options.kernel).startswith(
-                "fused")):
-        from tikejax.ops import pallas_fused, slabs as _slabs
+    slab_eligible = (no_mesh and options.nchunks == 1
+                     and options.memory != "materialized"
+                     and diffraction.resolve_kernel(
+                         options.kernel).startswith("fused"))
+    if not slab_eligible:
+        return _run_cg_jit(geometry, options, data, psi0, scan, prb0,
+                           f_base, cg_init)
 
-        nslab = options.obj_slabs
-        if nslab == 1 and not pallas_fused.obj_planes_fit(
-                geometry.nz, geometry.n, geometry.nprb, 4):
-            nslab = _slabs.choose_slabs(geometry.nz, geometry.n,
-                                        geometry.nprb, 4)
-            options = dataclasses.replace(options, obj_slabs=nslab)
+    from tikejax.ops import pallas_fused, slabs as _slabs
+
+    resolved = diffraction.resolve_kernel(options.kernel)
+    fit_kw = dict(planes=4, nmodes=prb0.shape[-3], ndet=geometry.ndet,
+                  precision=diffraction._fused_precision(resolved))
+    nslab = options.obj_slabs
+    if nslab == 1 and not pallas_fused.obj_planes_fit(
+            geometry.nz, geometry.n, geometry.nprb, 4,
+            extra_bytes=pallas_fused.frames_workspace_bytes(
+                fit_kw["nmodes"], geometry.ndet, geometry.nprb,
+                fit_kw["precision"])):
+        nslab = _slabs.choose_slabs(geometry.nz, geometry.n,
+                                    geometry.nprb, **fit_kw)
+    geo0, scan0, data0, f_base0 = geometry, scan, data, f_base
+    while True:
+        options = dataclasses.replace(options, obj_slabs=nslab)
         if nslab > 1:
-            if isinstance(scan, jax.core.Tracer):
+            if isinstance(scan0, jax.core.Tracer):
                 raise ValueError(
                     "obj_slabs needs concrete scan positions for the "
                     "host-side owner partition; call run() outside jit "
                     "for slab-streamed objects")
             scan, data, f_base, s_per = _slabs.partition_slabs(
-                scan, data, geometry, nslab, f_base=f_base)
-            geometry = dataclasses.replace(geometry,
-                                           nscan=nslab * s_per)
-    return _run_cg_jit(geometry, options, data, psi0, scan, prb0, f_base,
-                       cg_init)
+                scan0, data0, geo0, nslab, f_base=f_base0)
+            geometry = dataclasses.replace(geo0, nscan=nslab * s_per)
+        try:
+            return _run_cg_jit(geometry, options, data, psi0, scan,
+                               prb0, f_base, cg_init)
+        except jax.errors.JaxRuntimeError as e:
+            msg = str(e).lower()
+            if "vmem" not in msg or isinstance(scan0, jax.core.Tracer):
+                raise
+            nslab = _slabs.choose_slabs(geo0.nz, geo0.n, geo0.nprb,
+                                        start=nslab + 1, **fit_kw)
+            import warnings
+
+            warnings.warn(
+                f"fused kernel exceeded Mosaic's scoped VMEM at "
+                f"obj_slabs={options.obj_slabs}; retrying with "
+                f"obj_slabs={nslab} (the fit model is an estimate)",
+                stacklevel=2)
 
 
 def normalize_options(options: CGOptions) -> CGOptions:
