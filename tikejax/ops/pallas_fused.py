@@ -146,9 +146,19 @@ def _default_frames(precision=None) -> int:
     return 32 if precision == "kara_x3" else 16
 
 
-def _positions_per_step(nmodes: int, precision=None) -> int:
+def _positions_per_step(nmodes: int, precision=None,
+                        frames: int | None = None) -> int:
     # P * nmodes frame-sized f32 pairs live in VMEM per step plus matmul
     # temporaries; the default is tier-dependent (_default_frames).
+    # An EXPLICIT ``frames`` (the kernels' public kwarg, round 5) wins
+    # outright -- it is a deliberate per-call engineering choice (the
+    # slab planner lowers it to shrink the VMEM frame workspace for
+    # very wide objects; sweeps use it instead of the env knob), not an
+    # unswept ambient override, so the env guard does not apply.
+    if frames is not None:
+        if frames < 1:
+            raise ValueError(f"frames must be >= 1, got {frames}")
+        return max(1, frames // nmodes)
     # TIKEJAX_FRAMES_PER_STEP overrides for re-tuning sweeps; off-default
     # values warn-and-fallback unless FORCE=1 (the round-2/3 >8-min
     # Mosaic-compile pathology behind the original guard did NOT
@@ -207,6 +217,16 @@ def _window_args(scan_int, data, P, scan_window):
             f"{data.shape[1]} must all be multiples of the kernel's "
             f"frames-per-step P={P}; build the slab partition with an "
             "aligned pad (ops.slabs.partition_slabs(align=...))")
+    if scan_int.shape[1] != data.shape[1]:
+        raise ValueError(
+            f"scan_window requires scan ({scan_int.shape[1]}) and data "
+            f"({data.shape[1]}) to share the scan axis -- the window's "
+            "block offset indexes both with the same grid")
+    if w0 + wl > scan_int.shape[1]:
+        raise ValueError(
+            f"scan_window {scan_window!r} overruns the scan axis "
+            f"({scan_int.shape[1]}); an out-of-range window would slice "
+            "scan short and fail later as a Pallas grid/shape mismatch")
     win = scan_int[:, w0:w0 + wl]
     sy = win[..., 0].astype(jnp.int32)
     sx = win[..., 1].astype(jnp.int32)
@@ -440,8 +460,14 @@ def _minf_out(t, nblocks):
     """(ShapeDtypeStruct, BlockSpec) for the scalar-objective
     accumulator: a revisited SMEM scalar (default, measured faster) or
     per-grid-step VMEM slots (_MINF_SMEM=0); the wrapper reduces
-    with jnp.sum either way."""
-    if _MINF_SMEM:
+    with jnp.sum either way. The SMEM form only lowers when the leading
+    grid axis is 1: Mosaic requires the block's second-to-last dim to
+    divide 8 or equal the array dim, and the (t, 1) scalar block is
+    (1, 1) -- t > 1 was rejected at lowering (found round 5 when the
+    stacked slab path first put t*D > 1 blocks through a real-TPU
+    compile; plain ntheta > 1 on TPU hit the same wall). Kernels branch
+    on the ref's rank, so both forms share one kernel body."""
+    if _MINF_SMEM and t == 1:
         return (jax.ShapeDtypeStruct((t, 1), jnp.float32),
                 pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
                              memory_space=pltpu.SMEM))
@@ -498,19 +524,35 @@ _VMEM_WORKSPACE = 4 << 20
 
 def frames_workspace_bytes(nmodes: int, ndet: int, nprb: int,
                            precision=None,
-                           addressing: str | None = None) -> int:
+                           addressing: str | None = None,
+                           joint: bool = False,
+                           frames: int | None = None) -> int:
     """Estimated per-step frame workspace of a mega-kernel: the
     P*nmodes row-extended frame pairs the phase-separated pipeline
     keeps live between its DFT and pointwise phases. The planes-only
     model in :func:`obj_planes_fit` undercounted exactly this term --
     a 2048^2/16-slab gradient kernel passed it at 13.2 MB modeled and
     was rejected by Mosaic at 16.52 MB scoped (round 4) -- so the slab
-    auto-selection adds it. An ESTIMATE, not an oracle (Mosaic's
-    scheduler owns the truth): the solver backstops marginal picks by
-    retrying with more slabs on a scoped-vmem compile rejection."""
-    P = _positions_per_step(nmodes, precision)
-    wh = _win(nprb, _is_v2(addressing))[0]
-    return 2 * P * nmodes * ndet * wh * 4
+    auto-selection adds it. ``joint=True`` additionally counts the
+    probe-gradient accumulator pair :func:`grad_prb_fused` keeps
+    resident across the grid (v2: (8, nmodes, wh, nprb) f32 x2 --
+    ~1.1 MB at a single-mode 128^2 probe; round-4 advisor finding:
+    without it choose_slabs could pick a count Mosaic rejects for
+    joint-probe runs). Pass the same ``addressing`` the kernel call
+    will use -- the window height differs between v1/v2. An ESTIMATE,
+    not an oracle (Mosaic's scheduler owns the truth): the solver
+    backstops marginal picks by retrying with more slabs on a
+    scoped-vmem compile rejection. ``frames`` mirrors the kernels'
+    per-call override (the slab planner lowers it for very wide
+    objects, where the P-proportional workspace is what overflows)."""
+    P = _positions_per_step(nmodes, precision, frames)
+    v2 = _is_v2(addressing)
+    wh = _win(nprb, v2)[0]
+    bytes_ = 2 * P * nmodes * ndet * wh * 4
+    if joint:
+        bytes_ += (2 * _SUB * nmodes * wh * nprb * 4 if v2
+                   else 2 * nmodes * nprb * nprb * 4)
+    return bytes_
 
 
 def obj_planes_fit(nz: int, n: int, nprb: int, planes: int = 4,
@@ -604,7 +646,8 @@ def _fwd_kernel(P, nmodes, nprb, prec, has_base, v2, sy, sx, f1r, f1i,
 def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
         ndet: int, precision=None, base: jax.Array | None = None,
         addressing: str | None = None,
-        split_out: bool = False) -> jax.Array:
+        split_out: bool = False,
+        frames: int | None = None) -> jax.Array:
     """Fused forward: farplane[t,s,m] = DFT2(pad(psi[patch(s)] * prb[m])).
 
     With ``base`` (same shape as the output; a complex array or an
@@ -621,7 +664,7 @@ def fwd(psi: jax.Array, scan_int: jax.Array, prb: jax.Array,
     _, nmodes, nprb, _ = prb.shape
     s = scan_int.shape[1]
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes, precision)
+    P = _positions_per_step(nmodes, precision, frames)
     s_pad = -(-s // P) * P
     sy = _pad_axis1(scan_int[..., 0].astype(jnp.int32), s_pad)
     sx = _pad_axis1(scan_int[..., 1].astype(jnp.int32), s_pad)
@@ -903,7 +946,7 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
     def _():
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
-        if _MINF_SMEM:
+        if len(fsum.shape) == 2:  # revisited SMEM scalar form
             fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
@@ -951,7 +994,7 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
             acc_re = acc_re + (br * ars[k] + bi * ais[k])
             acc_im = acc_im + (br * ais[k] - bi * ars[k])
         _scatter_block(v2, ore, oim, acc_re, acc_im, ys[p], xs[p], nprb)
-    if _MINF_SMEM:
+    if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
         fsum[0, 0] = minf_acc.reshape(1, 1)
@@ -1146,7 +1189,7 @@ def _grad_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
     def _():
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
-        if _MINF_SMEM:
+        if len(fsum.shape) == 2:  # revisited SMEM scalar form
             fsum[0, 0] = jnp.float32(0.0)
 
     # Phase A: gather + probe multiply -> all P*nmodes nearplanes.
@@ -1220,7 +1263,7 @@ def _grad_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
             acc_re = acc_re + (br * ars[k] + bi * ais[k])
             acc_im = acc_im + (br * ais[k] - bi * ars[k])
         _scatter_block(v2, ore, oim, acc_re, acc_im, ys[p], xs[p], nprb)
-    if _MINF_SMEM:
+    if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
         fsum[0, 0] = minf_acc.reshape(1, 1)
@@ -1230,7 +1273,8 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                prb: jax.Array, ndet: int, model: str, precision=None,
                base: jax.Array | None = None,
                addressing: str | None = None, adj_precision=None,
-               scan_window: tuple[int, int] | None = None):
+               scan_window: tuple[int, int] | None = None,
+               frames: int | None = None):
     """Full likelihood gradient w.r.t. the object plus the objective in a
     single kernel pass (no farplane in HBM). With ``base``, the forward
     field is G(psi) + base (split-operator refinement: psi is a small
@@ -1249,7 +1293,7 @@ def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes, precision)
+    P = _positions_per_step(nmodes, precision, frames)
     sy, sx, off0, s_act, s_pad = _window_args(scan_int, data, P,
                                               scan_window)
     off = jnp.full((1,), off0, jnp.int32)
@@ -1311,7 +1355,7 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    if _MINF_SMEM:
+    if len(fsum.shape) == 2:  # revisited SMEM scalar form
         @pl.when(j == 0)
         def _():
             fsum[0, 0] = jnp.float32(0.0)
@@ -1357,7 +1401,7 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
         else:  # poisson
             minf_acc = minf_acc + valid * jnp.sum(
                 intensity - d * jnp.log(intensity + 1e-8))
-    if _MINF_SMEM:
+    if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
         fsum[0, 0] = minf_acc.reshape(1, 1)
@@ -1367,7 +1411,8 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                prb: jax.Array, ndet: int, model: str, precision=None,
                base: jax.Array | None = None,
                addressing: str | None = None,
-               scan_window: tuple[int, int] | None = None):
+               scan_window: tuple[int, int] | None = None,
+               frames: int | None = None):
     """Objective evaluation with NOTHING farplane-sized in HBM: every
     frame is produced by the MXU DFT in VMEM and reduced into the SMEM
     accumulator on the spot. This is the fully-frameless line-search
@@ -1381,7 +1426,7 @@ def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes, precision)
+    P = _positions_per_step(nmodes, precision, frames)
     sy, sx, off0, s_act, s_pad = _window_args(scan_int, data, P,
                                               scan_window)
     off = jnp.full((1,), off0, jnp.int32)
@@ -1441,7 +1486,7 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
     def _():
         ore[...] = jnp.zeros_like(ore)
         oim[...] = jnp.zeros_like(oim)
-        if _MINF_SMEM:
+        if len(fsum.shape) == 2:  # revisited SMEM scalar form
             fsum[0, 0] = jnp.float32(0.0)
 
     minf_acc = jnp.zeros((), jnp.float32)
@@ -1492,7 +1537,7 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
             else:
                 ore[0, m] += vr
                 oim[0, m] += vi
-    if _MINF_SMEM:
+    if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
         fsum[0, 0] = minf_acc.reshape(1, 1)
@@ -1501,7 +1546,8 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
 def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
                    prb: jax.Array, ndet: int, model: str, precision=None,
                    addressing: str | None = None, adj_precision=None,
-                   scan_window: tuple[int, int] | None = None):
+                   scan_window: tuple[int, int] | None = None,
+                   frames: int | None = None):
     """Full likelihood gradient w.r.t. the probe plus the objective in a
     single kernel pass (no farplane in HBM). ``adj_precision`` selects
     the IDFT precision separately (see :func:`grad_fused`).
@@ -1513,7 +1559,7 @@ def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
     t, nz, n = psi.shape
     _, nmodes, nprb, _ = prb.shape
     v2 = _is_v2(addressing)
-    P = _positions_per_step(nmodes, precision)
+    P = _positions_per_step(nmodes, precision, frames)
     sy, sx, off0, s_act, s_pad = _window_args(scan_int, data, P,
                                               scan_window)
     off = jnp.full((1,), off0, jnp.int32)

@@ -20,27 +20,32 @@ across mesh devices:
   and pad every (theta, slab) group to the global maximum count with
   sentinel positions (scan row -1, zero data frames) -- the documented
   operator-level mask every kernel zeroes exactly (ops.patches);
-* in jit (:func:`grad_fused_slabs` & friends): ``lax.scan`` over slabs;
-  each step slices the slab's rows plus the probe-window overlap
-  (``H + nprb`` rows -- a frame owned by slab ``k`` touches rows
-  ``< (k+1)H + nprb``), localises the scan rows, and runs the UNCHANGED
-  fused kernel on the sub-object; gradient slabs overlap-add back into
-  an object-sized accumulator (adjacent outputs overlap by ``nprb``
-  rows).
+* in jit (:func:`grad_fused_slabs` & friends), STACKED single dispatch
+  (the round-5 default, ``_stacked_args``): the slab axis folds into
+  the kernels' leading (theta) grid axis -- block ``ti*D + k`` sees
+  slab k's sub-object rows (``H + nprb`` rows: a frame owned by slab
+  ``k`` touches rows ``< (k+1)H + nprb``), its localised scan group,
+  and its reshaped data/base frames (zero-copy: the partition made the
+  scan axis ``(D, s_per)``-contiguous). One kernel dispatch, identical
+  per-step VMEM; gradient slabs overlap-add back into an object-sized
+  accumulator (adjacent outputs overlap by ``nprb`` rows). The
+  per-slab loop variants ('window'/'sliced', ``impl=``) remain for
+  unaligned partitions and A/B probes.
 
 FLOPs are identical to the whole-object kernels -- each frame is
-processed exactly once, in its owner slab, by the same MXU-DFT pipeline
--- and the kernel is compiled ONCE (every slab call has the same static
-shapes). The extra cost is object-sized slice/update pairs plus the
-per-slab re-slice of the data frames, all tiny against the frame DFTs.
-The remaining ceiling is the object WIDTH (the sub-object keeps full
-rows): ``(H + nprb)``-row slabs fit v5e VMEM up to ``n`` ~ 2k-3k columns
-at 128^2 probes; wider objects need the mesh tiling path, which also
+processed exactly once, in its owner slab, by the same MXU-DFT
+pipeline. The remaining ceiling is the object WIDTH (the sub-object
+keeps full rows); for very wide objects the planner additionally
+LOWERS the kernels' frames-per-step (:func:`plan_slabs` -- the
+P-proportional VMEM frame workspace is the only width-independent term
+it can shrink); wider still needs the mesh tiling path, which also
 splits columnwise traffic across chips.
 
 The solver enables this via ``CGOptions.obj_slabs`` (``run()``
-auto-selects the smallest fitting slab count when the object exceeds
-the fused kernels' VMEM budget, and applies the host partition).
+auto-selects the smallest fitting (slabs, frames) plan when the object
+exceeds the fused kernels' VMEM budget, and applies the host
+partition); the deep driver hoists the partition to once per
+reconstruction (``CGOptions.obj_slabs_partitioned``).
 """
 
 from __future__ import annotations
@@ -55,7 +60,10 @@ from tikejax.ops import pallas_fused
 
 def choose_slabs(nz: int, n: int, nprb: int, planes: int = 4,
                  nmodes: int = 1, ndet: int | None = None,
-                 precision=None, start: int = 1) -> int:
+                 precision=None, start: int = 1,
+                 addressing: str | None = None,
+                 joint: bool = False,
+                 frames: int | None = None) -> int:
     """Smallest slab count ``D >= start`` (dividing ``nz``) whose
     ``nz/D + nprb`` row sub-object fits the fused kernels' VMEM budget
     with ``planes`` resident object-sized f32 planes plus the
@@ -65,17 +73,25 @@ def choose_slabs(nz: int, n: int, nprb: int, planes: int = 4,
     raises when even the thinnest slab is too WIDE (the slab keeps full
     rows -- use parallel.run_tiled across a mesh). ``start > 1``
     resumes the search after a count Mosaic rejected (the solver's
-    compile-retry backstop)."""
+    compile-retry backstop). ``joint``/``addressing`` thread through to
+    :func:`pallas_fused.frames_workspace_bytes` -- pass ``joint=True``
+    for joint-probe (grad_prb) runs so the probe-gradient accumulators
+    are counted (round-4 advisor finding)."""
     extra = (pallas_fused.frames_workspace_bytes(nmodes, ndet, nprb,
-                                                 precision)
+                                                 precision,
+                                                 addressing=addressing,
+                                                 joint=joint,
+                                                 frames=frames)
              if ndet is not None else 0)
     if start <= 1 and pallas_fused.obj_planes_fit(nz, n, nprb, planes,
+                                                  addressing=addressing,
                                                   extra_bytes=extra):
         return 1
     for d in range(max(2, start), nz // 8 + 1):
         if nz % d:
             continue
         if pallas_fused.obj_planes_fit(nz // d + nprb, n, nprb, planes,
+                                       addressing=addressing,
                                        extra_bytes=extra):
             return d
     raise ValueError(
@@ -83,6 +99,38 @@ def choose_slabs(nz: int, n: int, nprb: int, planes: int = 4,
         f"{nprb} (the thinnest slab still keeps {n} columns and "
         "overflows VMEM); shard the object over a mesh with "
         "tikejax.parallel.run_tiled instead")
+
+
+def plan_slabs(nz: int, n: int, nprb: int, *, planes: int = 4,
+               nmodes: int = 1, ndet: int | None = None,
+               precision=None, addressing: str | None = None,
+               joint: bool = False, frames: int | None = None,
+               start: int = 1):
+    """``(n_slabs, frames)`` fitting plan for a slab-streamed run.
+
+    Tries ``frames`` (None = the measured tier default) first; when
+    even the thinnest slab overflows at that P (:func:`choose_slabs`
+    raises too-WIDE), halves frames down to 8 and retries -- the
+    P-proportional frame workspace is the only width-independent VMEM
+    term the planner can shrink, and the measured P sensitivity is
+    small (mx 32 vs 8: +5.4%, BASELINE.md round-4 sweep) against not
+    compiling at all. 2048^2 at 128^2 probes is the motivating case:
+    every slab count was Mosaic-rejected at the tier-default P=32
+    (round-5 slab probe)."""
+    f = frames
+    while True:
+        try:
+            return choose_slabs(nz, n, nprb, planes, nmodes, ndet,
+                                precision, start=start,
+                                addressing=addressing, joint=joint,
+                                frames=f), f
+        except ValueError:
+            eff = (f if f is not None
+                   else pallas_fused._default_frames(precision))
+            if eff <= 8:
+                raise
+            f = max(8, eff // 2)
+            start = 1
 
 
 def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
@@ -148,8 +196,76 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
     return scan_p, data_p, f_base_p, s_per
 
 
+def _stacked_args(psi, scan_int, data, base, prb, n_slabs):
+    """Single-dispatch STACKED-SLAB operands: fold the slab axis into
+    the kernels' leading (theta) grid axis.
+
+    The mega-kernels treat their leading axis as independent blocks --
+    the object plane spec indexes it, the scan/data/base specs index it,
+    and nothing couples adjacent blocks -- so a slab-partitioned
+    problem can run as ONE kernel dispatch on grid
+    ``(t * n_slabs, s_per // P)``: block ``ti*D + k`` sees slab k's
+    sub-object (rows ``k*h .. k*h + h + nprb``), its localized scan
+    group, and its (reshaped, zero-copy -- the partition made the scan
+    axis ``(D, s_per)``-contiguous) data/base frames. Identical
+    per-step VMEM and total grid work to the per-slab loop, but D-1
+    kernel dispatches, their prologue DMAs, and the per-call XLA glue
+    disappear. Measured round 5 (benchmarks/slab_overhead_probe.py,
+    BASELINE.md): the per-call path cost ~6 ms/iter at the headline
+    512^2 forced through 2 slabs; stacking reclaims it.
+
+    Returns ``(psi_st, scan_st, data_st, base_st, prb_st, ext)``.
+    """
+    t, nz, n = psi.shape
+    nprb = prb.shape[-1]
+    s = scan_int.shape[1]
+    s_per = s // n_slabs
+    h = nz // n_slabs
+    ext = h + nprb
+    psi_p = jnp.pad(psi, ((0, 0), (0, ext - h), (0, 0)))
+    psi_st = jnp.stack([psi_p[:, k * h:k * h + ext]
+                        for k in range(n_slabs)],
+                       axis=1).reshape(t * n_slabs, ext, n)
+    y = scan_int[..., 0]
+    k_of = (jnp.arange(s, dtype=y.dtype) // s_per) * h
+    y_loc = jnp.where(y < 0, y, y - k_of[None, :])
+    scan_st = jnp.stack([y_loc, scan_int[..., 1]],
+                        axis=-1).reshape(t * n_slabs, s_per, 2)
+
+    def stk(b):
+        # PRE-STACKED frame arrays pass through untouched: the
+        # (t, D*s_per) -> (t*D, s_per) reshape of a gigabyte-class
+        # constant operand measured as an UNHOISTED per-kernel-call
+        # relayout copy (~3.4 ms/eval flat in D at the headline scale,
+        # benchmarks/slab_overhead_probe.py round 5), so the solver
+        # partitions data/base straight into the stacked layout and the
+        # wrappers only reshape when handed the flat form.
+        if b.shape[0] == t * n_slabs:
+            return b
+        return b.reshape((t * n_slabs, s_per) + b.shape[2:])
+
+    data_st = stk(data)
+    base_st = (jax.tree.map(stk, base) if base is not None else None)
+    # Per-block probe: block ti*D + k uses theta ti's probe.
+    prb_st = jnp.repeat(prb, n_slabs, axis=0)
+    return psi_st, scan_st, data_st, base_st, prb_st, ext
+
+
+def _overlap_add(g_st, t, n_slabs, nz, n, nprb, dtype):
+    """Reassemble the stacked per-slab gradients (t*D, ext, n) into the
+    whole-object gradient by overlap-add (adjacent slabs share nprb
+    rows)."""
+    h = nz // n_slabs
+    ext = h + nprb
+    g = g_st.reshape(t, n_slabs, ext, n)
+    acc = jnp.zeros((t, nz + nprb, n), dtype)
+    for k in range(n_slabs):
+        acc = acc.at[:, k * h:k * h + ext].add(g[:, k])
+    return acc[:, :nz]
+
+
 def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
-                   kernel_call):
+                   kernel_call, force_sliced=False):
     """Python-unrolled slab loop: slab counts are small (<= ~16) and
     every slab call has identical static shapes, so the mega-kernel is
     compiled ONCE. When the partition's per-slab group size is a
@@ -160,11 +276,13 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
     (``scan_window=``), so nothing frame-sized is ever sliced into a
     fresh HBM copy -- the earlier slicing variants paid the full data
     array in r+w copy traffic per gradient call (lax.scan xs: 42.2
-    iters/s; unrolled static slices: 42.1; zero-copy window: see
-    BASELINE.md round 4) on the 512^2 headline forced through 2 slabs.
+    iters/s; unrolled static slices: 42.1; zero-copy window: 51.3 --
+    BASELINE.md round-5 "Slab campaign measured" row) on the 512^2
+    headline forced through 2 slabs (whole-object kernel: 74.4).
     Only the object sub-plane (a few MB) and the tiny scan coordinates
     are sliced per slab. Calls ``kernel_call(sub, datk, sck, basek,
-    window)`` per slab and returns the list of results."""
+    window)`` per slab and returns the list of results.
+    ``force_sliced`` disables the window path (A/B ablation)."""
     t, nz, n = psi.shape
     s = scan_int.shape[1]
     if s % n_slabs:
@@ -175,7 +293,7 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
     h = nz // n_slabs
     ext = h + nprb
     psi_p = jnp.pad(psi, ((0, 0), (0, ext - h), (0, 0)))
-    zero_copy = (s_per % P == 0)
+    zero_copy = (s_per % P == 0) and not force_sliced
     if zero_copy:
         # Localise the scan rows for ALL slabs in one vectorized pass
         # over the (tiny) coordinate array; sentinels (y < 0) stay put.
@@ -201,32 +319,64 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
     return out
 
 
+def _pick_impl(impl, scan_int, n_slabs, P):
+    """Resolve the slab implementation: 'stacked' (one dispatch, slab
+    axis folded into the leading grid axis -- the measured default) when
+    the partition is P-aligned, else the per-slab loop ('window' /
+    'sliced' select its flavour explicitly for A/B probes)."""
+    if impl not in ("auto", "stacked", "window", "sliced"):
+        raise ValueError(f"unknown slab impl {impl!r}")
+    s = scan_int.shape[1]
+    aligned = (s % n_slabs == 0) and ((s // n_slabs) % P == 0)
+    if impl == "stacked" and not aligned:
+        raise ValueError(
+            "impl='stacked' needs a P-aligned slab partition "
+            "(partition_slabs aligns to 32, which every production "
+            f"frames-per-step divides; got scan axis {s} over "
+            f"{n_slabs} slabs at P={P})")
+    if impl == "auto":
+        return "stacked" if aligned else "window"
+    return impl
+
+
 def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
                      n_slabs: int, precision=None, base=None,
-                     addressing=None, adj_precision=None):
+                     addressing=None, adj_precision=None,
+                     impl: str = "auto", frames: int | None = None):
     """Slab-streamed :func:`pallas_fused.grad_fused`: same (grad, minf)
     on objects whose gradient mega-kernel would overflow VMEM. Requires
     a slab-partitioned problem (see :func:`partition_slabs`).
 
-    The slab loop is PYTHON-UNROLLED and ZERO-COPY on aligned
-    partitions (the default): data/base ride into every call whole and
-    the kernel windows its slab via a prefetch-scalar block offset --
-    see _slab_unrolled for the measured history of the slicing
-    variants it replaces."""
+    Default path: STACKED single dispatch (``_stacked_args`` -- the
+    slab axis rides the kernel's leading grid axis, so per-slab
+    dispatch prologues and XLA glue vanish); per-slab loop retained for
+    unaligned partitions and A/B (``impl='window'``/``'sliced'``, see
+    _slab_unrolled for the measured history)."""
     t, nz, n = psi.shape
     nmodes, nprb = prb.shape[-3], prb.shape[-1]
     h = nz // n_slabs
     ext = h + nprb
-    P = pallas_fused._positions_per_step(nmodes, precision)
+    P = pallas_fused._positions_per_step(nmodes, precision, frames)
+    mode = _pick_impl(impl, scan_int, n_slabs, P)
+    if mode == "stacked":
+        psi_st, scan_st, data_st, base_st, prb_st, _ = _stacked_args(
+            psi, scan_int, data, base, prb, n_slabs)
+        g_st, f = pallas_fused.grad_fused(
+            psi_st, data_st, scan_st, prb_st, ndet, model,
+            precision=precision, base=base_st, addressing=addressing,
+            adj_precision=adj_precision, frames=frames)
+        return _overlap_add(g_st, t, n_slabs, nz, n, nprb,
+                            psi.dtype), f
 
     def call(sub, datk, sck, basek, window):
         return pallas_fused.grad_fused(
             sub, datk, sck, prb, ndet, model, precision=precision,
             base=basek, addressing=addressing,
-            adj_precision=adj_precision, scan_window=window)
+            adj_precision=adj_precision, scan_window=window,
+            frames=frames)
 
     outs = _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
-                          call)
+                          call, force_sliced=(mode == "sliced"))
     acc = jnp.zeros((t, nz + nprb, n), psi.dtype)
     f = jnp.zeros((), jnp.float32)
     for k, (gslab, fk) in enumerate(outs):
@@ -237,37 +387,127 @@ def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
 
 def minf_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
                      n_slabs: int, precision=None, base=None,
-                     addressing=None):
+                     addressing=None, impl: str = "auto",
+                     frames: int | None = None):
     """Slab-streamed :func:`pallas_fused.minf_fused` (frameless
-    line-search objective) for oversized objects."""
-    P = pallas_fused._positions_per_step(prb.shape[-3], precision)
+    line-search objective) for oversized objects; stacked single
+    dispatch by default (see :func:`grad_fused_slabs`)."""
+    P = pallas_fused._positions_per_step(prb.shape[-3], precision,
+                                         frames)
+    mode = _pick_impl(impl, scan_int, n_slabs, P)
+    if mode == "stacked":
+        psi_st, scan_st, data_st, base_st, prb_st, _ = _stacked_args(
+            psi, scan_int, data, base, prb, n_slabs)
+        return pallas_fused.minf_fused(
+            psi_st, data_st, scan_st, prb_st, ndet, model,
+            precision=precision, base=base_st, addressing=addressing,
+            frames=frames)
 
     def call(sub, datk, sck, basek, window):
         return pallas_fused.minf_fused(
             sub, datk, sck, prb, ndet, model, precision=precision,
-            base=basek, addressing=addressing, scan_window=window)
+            base=basek, addressing=addressing, scan_window=window,
+            frames=frames)
 
     outs = _slab_unrolled(psi, scan_int, data, base, n_slabs,
-                          prb.shape[-1], P, call)
+                          prb.shape[-1], P, call,
+                          force_sliced=(mode == "sliced"))
     return sum(outs[1:], outs[0])
+
+
+def fwd_fused_slabs(psi, scan_int, prb, ndet: int, n_slabs: int,
+                    precision=None, addressing=None,
+                    split_out: bool = False, impl: str = "auto",
+                    frames: int | None = None):
+    """Slab-streamed :func:`pallas_fused.fwd` for oversized objects:
+    the forward farplane of a slab-partitioned problem (the deep
+    driver's base re-freeze at slab scale -- the whole-object fwd
+    kernel holds 2 object planes in VMEM and overflows around side
+    ~1400 at 128^2 probes). Each position's frame is computed in its
+    owner slab, so the output frame order matches the partitioned scan
+    axis; sentinel positions (scan row -1) emit zero frames (the
+    kernel's `_pos_ok` mask). Stacked single dispatch by default (see
+    :func:`grad_fused_slabs`); the per-slab loop remains for unaligned
+    partitions. ``split_out`` returns the raw (re, im) f32 pair
+    (memory-bound split-operator path)."""
+    t, nz, n = psi.shape
+    nprb = prb.shape[-1]
+    s = scan_int.shape[1]
+    if s % n_slabs:
+        raise ValueError(
+            f"scan axis {s} is not partitioned into {n_slabs} slab "
+            "groups -- build the problem with ops.slabs.partition_slabs")
+    s_per = s // n_slabs
+    P = pallas_fused._positions_per_step(prb.shape[-3], precision,
+                                         frames)
+    mode = _pick_impl(impl, scan_int, n_slabs, P)
+    if mode == "stacked":
+        psi_st, scan_st, _, _, prb_st, _ = _stacked_args(
+            psi, scan_int, scan_int[..., :1], None, prb, n_slabs)
+        ore, oim = pallas_fused.fwd(psi_st, scan_st, prb_st, ndet,
+                                    precision=precision,
+                                    addressing=addressing,
+                                    split_out=True, frames=frames)
+        ore = ore.reshape((t, n_slabs * s_per) + ore.shape[2:])
+        oim = oim.reshape((t, n_slabs * s_per) + oim.shape[2:])
+        if split_out:
+            return ore, oim
+        return lax.complex(ore, oim)
+    h = nz // n_slabs
+    ext = h + nprb
+    psi_p = jnp.pad(psi, ((0, 0), (0, ext - h), (0, 0)))
+    outs_re, outs_im = [], []
+    for k in range(n_slabs):
+        sub = psi_p[:, k * h:k * h + ext]
+        sck = scan_int[:, k * s_per:(k + 1) * s_per]
+        y = sck[..., 0]
+        y_loc = jnp.where(y < 0, y, y - k * h)
+        sck = jnp.stack([y_loc, sck[..., 1]], axis=-1)
+        ore, oim = pallas_fused.fwd(sub, sck, prb, ndet,
+                                    precision=precision,
+                                    addressing=addressing, split_out=True,
+                                    frames=frames)
+        outs_re.append(ore)
+        outs_im.append(oim)
+    ore = jnp.concatenate(outs_re, axis=1)
+    oim = jnp.concatenate(outs_im, axis=1)
+    if split_out:
+        return ore, oim
+    return lax.complex(ore, oim)
 
 
 def grad_prb_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
                          n_slabs: int, precision=None,
-                         addressing=None, adj_precision=None):
+                         addressing=None, adj_precision=None,
+                         impl: str = "auto", frames: int | None = None):
     """Slab-streamed :func:`pallas_fused.grad_prb_fused` (joint probe
     recovery): probe gradients accumulate across slabs (the probe is
-    global; each frame contributes once, in its owner slab)."""
-    P = pallas_fused._positions_per_step(prb.shape[-3], precision)
+    global; each frame contributes once, in its owner slab). Stacked
+    single dispatch by default (see :func:`grad_fused_slabs`); the
+    per-slab probe gradients reduce over the folded slab axis."""
+    t = psi.shape[0]
+    P = pallas_fused._positions_per_step(prb.shape[-3], precision,
+                                         frames)
+    mode = _pick_impl(impl, scan_int, n_slabs, P)
+    if mode == "stacked":
+        psi_st, scan_st, data_st, _, prb_st, _ = _stacked_args(
+            psi, scan_int, data, None, prb, n_slabs)
+        g_st, f = pallas_fused.grad_prb_fused(
+            psi_st, data_st, scan_st, prb_st, ndet, model,
+            precision=precision, addressing=addressing,
+            adj_precision=adj_precision, frames=frames)
+        g = g_st.reshape((t, n_slabs) + g_st.shape[1:]).sum(axis=1)
+        return g, f
 
     def call(sub, datk, sck, basek, window):
         return pallas_fused.grad_prb_fused(
             sub, datk, sck, prb, ndet, model, precision=precision,
             addressing=addressing, adj_precision=adj_precision,
-            scan_window=window)
+            scan_window=window, frames=frames)
 
     outs = _slab_unrolled(psi, scan_int, data, None, n_slabs,
-                          prb.shape[-1], P, call)
+                          prb.shape[-1], P, call,
+                          force_sliced=(mode == "sliced"))
     g = sum((o[0] for o in outs[1:]), outs[0][0])
     f = sum((o[1] for o in outs[1:]), outs[0][1])
     return g, f

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -288,6 +289,27 @@ class CGOptions:
     # nchunks == 1 and no mesh axes (shard a mesh with
     # parallel.run_tiled instead).
     obj_slabs: int = 1
+    # The problem is ALREADY slab-partitioned: the caller applied
+    # ops.slabs.partition_slabs itself and run() must NOT re-partition.
+    # The deep driver (solvers.tiered.reconstruct) partitions ONCE per
+    # reconstruction and reuses the partition across every refinement
+    # segment -- re-partitioning per cg.run call would re-gather the
+    # full data array on device (4.3 GB at 64k x 128^2) once per
+    # segment plus host-side O(nscan) loops (round-4 advisor finding).
+    # With this flag run() also skips the VMEM compile-retry backstop
+    # (the caller owns the slab count). Only meaningful with
+    # obj_slabs > 1.
+    obj_slabs_partitioned: bool = False
+    # Per-call frames-per-kernel-step override for the fused kernels
+    # (None = the measured tier default, pallas_fused._default_frames).
+    # Two uses (round 5): (a) the slab planner LOWERS it for very wide
+    # objects, where the P-proportional VMEM frame workspace is what
+    # overflows (2048^2 at 128^2 probes: the tier-default P=32 pick was
+    # Mosaic-rejected at every slab count; P=16 fits) -- run()'s
+    # compile-retry backstop halves it automatically; (b) explicit
+    # frames sweeps through the solver without the
+    # TIKEJAX_FRAMES_PER_STEP env knob.
+    kernel_frames: int | None = None
 
 
 def _lbfgs_memory(direction: str) -> int:
@@ -612,7 +634,7 @@ class _Engine:
             return pallas_fused.fwd(
                 psi, scan_i, prb, self.g.ndet,
                 precision=diffraction._fused_precision(resolved),
-                base=self.f_base)
+                base=self.f_base, frames=self.o.kernel_frames)
         return self._fwd(psi, scan, prb) + _base_complex(self.f_base)
 
     def _adj(self, farp, scan, prb):
@@ -670,12 +692,14 @@ class _Engine:
                         gpsi, f0 = _slabs.grad_fused_slabs(
                             psi, data, scan_i, prb, self.g.ndet, o.model,
                             o.obj_slabs, precision=prec,
-                            base=self.f_base, adj_precision=adj_prec)
+                            base=self.f_base, adj_precision=adj_prec,
+                            frames=o.kernel_frames)
                     else:
                         gpsi, f0 = pallas_fused.grad_fused(
                             psi, data, scan_i, prb, self.g.ndet, o.model,
                             precision=prec, base=self.f_base,
-                            adj_precision=adj_prec)
+                            adj_precision=adj_prec,
+                            frames=o.kernel_frames)
                 else:
                     # Materialize G(psi) once (reused by the line-search
                     # statistics pass), then the fused gradient tail
@@ -702,11 +726,13 @@ class _Engine:
                     gprb, f0 = _slabs.grad_prb_fused_slabs(
                         psi, data, scan_i, prb, self.g.ndet, o.model,
                         o.obj_slabs, precision=prec,
-                        adj_precision=adj_prec)
+                        adj_precision=adj_prec,
+                        frames=o.kernel_frames)
                 else:
                     gprb, f0 = pallas_fused.grad_prb_fused(
                         psi, data, scan_i, prb, self.g.ndet, o.model,
-                        precision=prec, adj_precision=adj_prec)
+                        precision=prec, adj_precision=adj_prec,
+                        frames=o.kernel_frames)
             else:
                 fpsi = self._fwd_obj(psi, scan, prb)
                 f0 = self.minf_fn(fpsi, data)
@@ -816,12 +842,14 @@ class _Engine:
                             return _slabs.minf_fused_slabs(
                                 p, data, scan_i, b, self.g.ndet, o.model,
                                 o.obj_slabs, precision=prec,
-                                base=self.f_base)
+                                base=self.f_base,
+                                frames=o.kernel_frames)
                     else:
                         def minf_eval(p, b):
                             return pallas_fused.minf_fused(
                                 p, data, scan_i, b, self.g.ndet, o.model,
-                                precision=prec, base=self.f_base)
+                                precision=prec, base=self.f_base,
+                                frames=o.kernel_frames)
                     if dpsi is not None:
                         def f_of(gamma):
                             cand = psi + gamma.astype(psi.dtype) * dpsi
@@ -1656,7 +1684,10 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
                      and options.memory != "materialized"
                      and diffraction.resolve_kernel(
                          options.kernel).startswith("fused"))
-    if not slab_eligible:
+    if not slab_eligible or options.obj_slabs_partitioned:
+        # obj_slabs_partitioned: the caller (the deep driver) already
+        # applied the owner partition once for the whole reconstruction
+        # -- go straight to the solver on the partitioned problem.
         return _run_cg_jit(geometry, options, data, psi0, scan, prb0,
                            f_base, cg_init)
 
@@ -1664,43 +1695,84 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
 
     resolved = diffraction.resolve_kernel(options.kernel)
     fit_kw = dict(planes=4, nmodes=prb0.shape[-3], ndet=geometry.ndet,
-                  precision=diffraction._fused_precision(resolved))
+                  precision=diffraction._fused_precision(resolved),
+                  joint=options.recover_prb)
     nslab = options.obj_slabs
+    kframes = options.kernel_frames
+    memo_key = (geometry.nz, geometry.n, geometry.nprb, geometry.ndet,
+                fit_kw["nmodes"], fit_kw["precision"], fit_kw["joint"])
+    auto_planned = False
     if nslab == 1 and not pallas_fused.obj_planes_fit(
             geometry.nz, geometry.n, geometry.nprb, 4,
             extra_bytes=pallas_fused.frames_workspace_bytes(
                 fit_kw["nmodes"], geometry.ndet, geometry.nprb,
-                fit_kw["precision"])):
-        nslab = _slabs.choose_slabs(geometry.nz, geometry.n,
-                                    geometry.nprb, **fit_kw)
+                fit_kw["precision"], joint=fit_kw["joint"],
+                frames=kframes)):
+        auto_planned = True
+        if kframes is None and memo_key in _SLAB_PLAN_MEMO:
+            nslab, kframes = _SLAB_PLAN_MEMO[memo_key]
+        else:
+            nslab, kframes = _slabs.plan_slabs(geometry.nz, geometry.n,
+                                               geometry.nprb,
+                                               frames=kframes, **fit_kw)
     geo0, scan0, data0, f_base0 = geometry, scan, data, f_base
+    retries = 0
     while True:
-        options = dataclasses.replace(options, obj_slabs=nslab)
+        options = dataclasses.replace(options, obj_slabs=nslab,
+                                      kernel_frames=kframes)
         if nslab > 1:
             if isinstance(scan0, jax.core.Tracer):
                 raise ValueError(
                     "obj_slabs needs concrete scan positions for the "
                     "host-side owner partition; call run() outside jit "
                     "for slab-streamed objects")
+            eff = (kframes if kframes is not None
+                   else pallas_fused._default_frames(fit_kw["precision"]))
+            align = 32 * eff // math.gcd(32, eff)
             scan, data, f_base, s_per = _slabs.partition_slabs(
-                scan0, data0, geo0, nslab, f_base=f_base0)
+                scan0, data0, geo0, nslab, f_base=f_base0, align=align)
             geometry = dataclasses.replace(geo0, nscan=nslab * s_per)
         try:
-            return _run_cg_jit(geometry, options, data, psi0, scan,
-                               prb0, f_base, cg_init)
+            out = _run_cg_jit(geometry, options, data, psi0, scan,
+                              prb0, f_base, cg_init)
+            if auto_planned and nslab > 1:
+                _SLAB_PLAN_MEMO[memo_key] = (nslab, kframes)
+            return out
         except jax.errors.JaxRuntimeError as e:
             msg = str(e).lower()
-            if "vmem" not in msg or isinstance(scan0, jax.core.Tracer):
+            # Mosaic/libtpu wording for scoped-memory overflow varies
+            # across versions ('vmem', 'scoped memory', 'scratch
+            # limit'); match broadly so a wording change degrades to a
+            # wasted retry, not a silently disabled backstop -- and cap
+            # the retries so classification drift cannot loop through
+            # many multi-minute recompiles (round-4 advisor finding).
+            vmem_like = any(w in msg for w in ("vmem", "scoped",
+                                               "scratch"))
+            if (not vmem_like or retries >= 4
+                    or isinstance(scan0, jax.core.Tracer)):
                 raise
-            nslab = _slabs.choose_slabs(geo0.nz, geo0.n, geo0.nprb,
-                                        start=nslab + 1, **fit_kw)
+            retries += 1
+            # Retry policy (round 5, informed by the 2048^2 probe where
+            # ADDING slabs never converged -- the P-proportional frame
+            # workspace was the overflow): first HALVE frames (frees
+            # 2.2 MB at P=32->16 for a measured ~5% MXU cost), then add
+            # slabs at the floor P.
+            eff = (kframes if kframes is not None
+                   else pallas_fused._default_frames(fit_kw["precision"]))
+            if eff > 8:
+                kframes = max(8, eff // 2)
+            else:
+                nslab, kframes = _slabs.plan_slabs(
+                    geo0.nz, geo0.n, geo0.nprb, start=nslab + 1,
+                    frames=kframes, **fit_kw)
             import warnings
 
             warnings.warn(
                 f"fused kernel exceeded Mosaic's scoped VMEM at "
-                f"obj_slabs={options.obj_slabs}; retrying with "
-                f"obj_slabs={nslab} (the fit model is an estimate)",
-                stacklevel=2)
+                f"obj_slabs={options.obj_slabs}, frames="
+                f"{options.kernel_frames}; retrying with obj_slabs="
+                f"{nslab}, frames={kframes} (the fit model is an "
+                "estimate)", stacklevel=2)
 
 
 def normalize_options(options: CGOptions) -> CGOptions:
@@ -1720,3 +1792,12 @@ def normalize_options(options: CGOptions) -> CGOptions:
 
 
 _run_cg_jit = jax.jit(run_impl, static_argnums=(0, 1))
+
+# Working (obj_slabs, kernel_frames) plans learned by the Mosaic
+# compile-retry backstop, keyed by the VMEM-fit inputs. The fit model
+# is an estimate and the 2048^2 probe showed the retry ladder firing 3
+# times before landing (round 5) -- without this memo EVERY run() call
+# on such a config would re-pay the failed compiles, and the deep
+# driver (whose pre-partitioned stages skip the retry) could not
+# benefit from what a prior run learned.
+_SLAB_PLAN_MEMO: dict = {}
