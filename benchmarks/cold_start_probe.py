@@ -65,7 +65,9 @@ def main():
 
     psi0 = cones(g.psi_shape)
     t0 = time.perf_counter()
-    psi, prb_out, metrics = compiled(data, psi0, scan, prb)
+    # The AOT-compiled callable takes the exact lowered signature,
+    # including the (None, None) f_base/cg_init slots.
+    psi, prb_out, metrics = compiled(data, psi0, scan, prb, None, None)
     sync(psi)
     print(f"execute_s={time.perf_counter() - t0:.1f} "
           f"(P={os.environ.get('TIKEJAX_FRAMES_PER_STEP', 'default')})",

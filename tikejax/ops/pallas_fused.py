@@ -471,10 +471,15 @@ def _minf_out(t, nblocks):
         return (jax.ShapeDtypeStruct((t, 1), jnp.float32),
                 pl.BlockSpec((1, 1), lambda i, j, *_: (i, 0),
                              memory_space=pltpu.SMEM))
-    # Mosaic requires the last two block dims to divide (8, 128) or
-    # equal the array dims -- a trailing (1, 1) satisfies the latter.
-    return (jax.ShapeDtypeStruct((t, nblocks, 1, 1), jnp.float32),
-            pl.BlockSpec((1, 1, 1, 1), lambda i, j, *_: (i, j, 0, 0)))
+    # Revisited per-i VMEM accumulator: the trailing (1, 1) equals the
+    # array dims (Mosaic's block rule) at ANY leading size, and the
+    # block is index-mapped by i only, so it stays resident across the
+    # j grid and writes back ONCE per i. The earlier per-(i, j) slots
+    # form paid one tiny block DMA per grid step -- measured +3.4
+    # ms/eval flat on the headline-forced slab configs, ~55% of the
+    # whole kernel (benchmarks/slab_overhead_probe.py, round 5).
+    return (jax.ShapeDtypeStruct((t, 1, 1, 1), jnp.float32),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j, *_: (i, 0, 0, 0)))
 
 
 def _factor_args(ndet, nprb, v2):
@@ -948,6 +953,9 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
         oim[...] = jnp.zeros_like(oim)
         if len(fsum.shape) == 2:  # revisited SMEM scalar form
             fsum[0, 0] = jnp.float32(0.0)
+        else:  # revisited VMEM accumulator form ((1,1)-tile stores:
+            # Mosaic rejects scalar stores to VMEM)
+            fsum[0, 0] = jnp.zeros((1, 1), jnp.float32)
 
     minf_acc = jnp.zeros((), jnp.float32)
     ys, xs, rys, rrs, ris = [], [], [], [], []
@@ -997,7 +1005,7 @@ def _adj_residual_kernel(P, nmodes, nprb, model, prec, s_actual, v2, sy,
     if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
-        fsum[0, 0] = minf_acc.reshape(1, 1)
+        fsum[0, 0] = fsum[0, 0] + minf_acc  # (1,1)-tile RMW
 
 
 def adj_residual(farplane: jax.Array, data: jax.Array, scan_int: jax.Array,
@@ -1191,6 +1199,9 @@ def _grad_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
         oim[...] = jnp.zeros_like(oim)
         if len(fsum.shape) == 2:  # revisited SMEM scalar form
             fsum[0, 0] = jnp.float32(0.0)
+        else:  # revisited VMEM accumulator form ((1,1)-tile stores:
+            # Mosaic rejects scalar stores to VMEM)
+            fsum[0, 0] = jnp.zeros((1, 1), jnp.float32)
 
     # Phase A: gather + probe multiply -> all P*nmodes nearplanes.
     ys, xs, pvs, rys, nrs, nis = [], [], [], [], [], []
@@ -1266,7 +1277,7 @@ def _grad_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
     if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
-        fsum[0, 0] = minf_acc.reshape(1, 1)
+        fsum[0, 0] = fsum[0, 0] + minf_acc  # (1,1)-tile RMW
 
 
 def grad_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
@@ -1355,10 +1366,13 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    if len(fsum.shape) == 2:  # revisited SMEM scalar form
-        @pl.when(j == 0)
-        def _():
+    @pl.when(j == 0)
+    def _():
+        if len(fsum.shape) == 2:  # revisited SMEM scalar form
             fsum[0, 0] = jnp.float32(0.0)
+        else:  # revisited VMEM accumulator form ((1,1)-tile stores:
+            # Mosaic rejects scalar stores to VMEM)
+            fsum[0, 0] = jnp.zeros((1, 1), jnp.float32)
 
     rys, pvs, nrs, nis = [], [], [], []
     for p in range(P):
@@ -1404,7 +1418,7 @@ def _minf_kernel(P, nmodes, nprb, model, prec, s_actual, has_base, v2,
     if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
-        fsum[0, 0] = minf_acc.reshape(1, 1)
+        fsum[0, 0] = fsum[0, 0] + minf_acc  # (1,1)-tile RMW
 
 
 def minf_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,
@@ -1488,6 +1502,9 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
         oim[...] = jnp.zeros_like(oim)
         if len(fsum.shape) == 2:  # revisited SMEM scalar form
             fsum[0, 0] = jnp.float32(0.0)
+        else:  # revisited VMEM accumulator form ((1,1)-tile stores:
+            # Mosaic rejects scalar stores to VMEM)
+            fsum[0, 0] = jnp.zeros((1, 1), jnp.float32)
 
     minf_acc = jnp.zeros((), jnp.float32)
     rys, pvs, pats, nrs, nis = [], [], [], [], []
@@ -1540,7 +1557,7 @@ def _grad_prb_kernel(P, nmodes, nprb, model, prec, adj_prec, s_actual,
     if len(fsum.shape) == 2:
         fsum[0, 0] += minf_acc
     else:
-        fsum[0, 0] = minf_acc.reshape(1, 1)
+        fsum[0, 0] = fsum[0, 0] + minf_acc  # (1,1)-tile RMW
 
 
 def grad_prb_fused(psi: jax.Array, data: jax.Array, scan_int: jax.Array,

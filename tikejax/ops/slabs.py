@@ -173,6 +173,15 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
     for ti in range(t):
         for k in range(n_slabs):
             idx = np.nonzero(owner[ti] == k)[0]
+            # Sort WITHIN the group by y. Semantically any order works,
+            # but the round-5 overhead hunt isolated a ~55%-of-kernel
+            # slowdown to the exact combination {y-restricted group,
+            # sentinel pad, original (random) within-group order} --
+            # the same group y-SORTED with the same sentinels runs at
+            # whole-object speed (BASELINE.md "Slab-overhead mechanism
+            # hunt": t2sorted 9.9 vs t2sortpad 6.5 ms/eval; mechanism
+            # inside Mosaic's dynamic-gather scheduling, not modeled).
+            idx = idx[np.argsort(sc[ti, idx, 0], kind="stable")]
             order[ti, k * s_per:k * s_per + len(idx)] = idx
     scan_p = np.zeros((t, n_slabs * s_per, 2), sc.dtype)
     scan_p[..., 0] = -1  # sentinel: masked position

@@ -1702,19 +1702,25 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     memo_key = (geometry.nz, geometry.n, geometry.nprb, geometry.ndet,
                 fit_kw["nmodes"], fit_kw["precision"], fit_kw["joint"])
     auto_planned = False
-    if nslab == 1 and not pallas_fused.obj_planes_fit(
+    if nslab == 1 and kframes is None and memo_key in _SLAB_PLAN_MEMO:
+        # A prior call on this config already walked the compile-retry
+        # ladder (possibly from a plan the fit model wrongly accepted):
+        # reuse its working plan OUTRIGHT -- failed compiles are not
+        # cached by jit, so re-walking the ladder would re-pay them on
+        # EVERY call (run_all config 3 measured 6.9 iters/s instead of
+        # ~40 from exactly that, round 5).
+        auto_planned = True
+        nslab, kframes = _SLAB_PLAN_MEMO[memo_key]
+    elif nslab == 1 and not pallas_fused.obj_planes_fit(
             geometry.nz, geometry.n, geometry.nprb, 4,
             extra_bytes=pallas_fused.frames_workspace_bytes(
                 fit_kw["nmodes"], geometry.ndet, geometry.nprb,
                 fit_kw["precision"], joint=fit_kw["joint"],
                 frames=kframes)):
         auto_planned = True
-        if kframes is None and memo_key in _SLAB_PLAN_MEMO:
-            nslab, kframes = _SLAB_PLAN_MEMO[memo_key]
-        else:
-            nslab, kframes = _slabs.plan_slabs(geometry.nz, geometry.n,
-                                               geometry.nprb,
-                                               frames=kframes, **fit_kw)
+        nslab, kframes = _slabs.plan_slabs(geometry.nz, geometry.n,
+                                           geometry.nprb,
+                                           frames=kframes, **fit_kw)
     geo0, scan0, data0, f_base0 = geometry, scan, data, f_base
     retries = 0
     while True:
@@ -1735,7 +1741,13 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
         try:
             out = _run_cg_jit(geometry, options, data, psi0, scan,
                               prb0, f_base, cg_init)
-            if auto_planned and nslab > 1:
+            if ((auto_planned or retries)
+                    and (nslab > 1 or kframes is not None)):
+                # Remember ANY non-default working plan -- including a
+                # frames-only lowering at obj_slabs=1, which the retry
+                # ladder discovers when the fit model is optimistic
+                # (e.g. joint 128^2-probe kernels at the P=32 tier
+                # default).
                 _SLAB_PLAN_MEMO[memo_key] = (nslab, kframes)
             return out
         except jax.errors.JaxRuntimeError as e:

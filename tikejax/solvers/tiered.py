@@ -237,9 +237,96 @@ def reconstruct(data, psi0, scan, prb0, geometry: Geometry,
         # obj_slabs_partitioned and skips its own partition (the
         # per-segment re-partition used to re-gather the full data
         # array on device each refinement segment; round-4 advisor).
-        data, scan, geometry, options = _maybe_slab_partition(
-            data, scan, geometry, prb0, options, method, tiers,
-            base_kernel, fast_kernel, joint_kernel)
+        # The pre-partitioned stages skip cg.run's per-call VMEM
+        # compile-retry, so the driver carries its own backstop: a
+        # Mosaic scoped-memory rejection at ANY stage's first compile
+        # re-plans (halve frames, then add slabs -- the measured 2048^2
+        # ladder) and restarts from the original inputs; a success
+        # seeds cg._SLAB_PLAN_MEMO so per-stage run() calls and later
+        # processes in this session skip the failed compiles.
+        from tikejax.ops import pallas_fused, slabs as _slabs
+
+        orig = (data, scan, geometry, options)
+        attempt = 0
+        while True:
+            data, scan, geometry, options = _maybe_slab_partition(
+                *orig[:2], orig[2], prb0, orig[3], method, tiers,
+                base_kernel, fast_kernel, joint_kernel)
+            try:
+                out = _reconstruct_method(
+                    data, psi0, scan, prb0, geometry, target_residual,
+                    tiers, method, segment, max_segments, base_kernel,
+                    fast_kernel, joint_kernel, segment_carry,
+                    floor_patience, accelerate, None, checkpoint_path,
+                    checkpoint_every, options)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e).lower()
+                vmem_like = any(w in msg for w in ("vmem", "scoped",
+                                                   "scratch"))
+                if (not vmem_like or attempt >= 4
+                        or options.obj_slabs <= 1):
+                    raise
+                attempt += 1
+                kf = options.kernel_frames
+                precs = {diffraction._fused_precision(
+                    diffraction.resolve_kernel(k)) for k in
+                    ([fast_kernel or "fused", base_kernel or "fused_hp"]
+                     if method == "split"
+                     else [k for k, _, _ in tiers])}
+                eff = (kf if kf is not None else
+                       max(pallas_fused._default_frames(p)
+                           for p in precs))
+                if eff > 8:
+                    nslab, kf = options.obj_slabs, max(8, eff // 2)
+                else:
+                    nslab, kf = _slabs.plan_slabs(
+                        orig[2].nz, orig[2].n, orig[2].nprb, planes=4,
+                        nmodes=prb0.shape[-3], ndet=orig[2].ndet,
+                        precision=next(iter(precs)),
+                        joint=orig[3].recover_prb, frames=kf,
+                        start=options.obj_slabs + 1)
+                import warnings
+
+                warnings.warn(
+                    "reconstruct: fused kernel exceeded Mosaic's scoped "
+                    f"VMEM at obj_slabs={options.obj_slabs}, frames="
+                    f"{options.kernel_frames}; re-planning with "
+                    f"obj_slabs={nslab}, frames={kf} and restarting",
+                    stacklevel=2)
+                orig = (orig[0], orig[1], orig[2], dataclasses.replace(
+                    orig[3], obj_slabs=nslab, kernel_frames=kf))
+                continue
+            if options.obj_slabs > 1 or options.kernel_frames is not None:
+                for pr in {diffraction._fused_precision(
+                        diffraction.resolve_kernel(k)) for k in
+                        ([fast_kernel or "fused",
+                          base_kernel or "fused_hp"]
+                         if method == "split"
+                         else [k for k, _, _ in tiers])}:
+                    _cg._SLAB_PLAN_MEMO[
+                        (orig[2].nz, orig[2].n, orig[2].nprb,
+                         orig[2].ndet, prb0.shape[-3], pr,
+                         orig[3].recover_prb)] = (
+                        options.obj_slabs, options.kernel_frames)
+            return out
+    return _reconstruct_method(data, psi0, scan, prb0, geometry,
+                               target_residual, tiers, method, segment,
+                               max_segments, base_kernel, fast_kernel,
+                               joint_kernel, segment_carry,
+                               floor_patience, accelerate, mesh,
+                               checkpoint_path, checkpoint_every,
+                               options)
+
+
+def _reconstruct_method(data, psi0, scan, prb0, geometry,
+                        target_residual, tiers, method, segment,
+                        max_segments, base_kernel, fast_kernel,
+                        joint_kernel, segment_carry, floor_patience,
+                        accelerate, mesh, checkpoint_path,
+                        checkpoint_every, options):
+    """Dispatch to the split or tier-chaining method (the body of
+    :func:`reconstruct` after problem preparation -- factored out so
+    the single-device slab backstop can re-plan and restart it)."""
     run_fn = _make_run_fn(mesh)
     if method == "split":
         return _reconstruct_split(data, psi0, scan, prb0, geometry,
