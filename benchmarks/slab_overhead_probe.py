@@ -50,7 +50,7 @@ def main():
     # partition_slabs' device `take` -- runs the PLAIN kernel on the
     # gathered copy. If this alone shows the +3.5 ms, the cost is the
     # gathered data array's layout, not anything slab-shaped.
-    scan_1, data_1, _, _ = slabs.partition_slabs(scan, data, g, 1)
+    scan_1, data_1, _, _, _ = slabs.partition_slabs(scan, data, g, 1)
     sc_1 = jax.jit(patches.scan_to_int)(jnp.asarray(scan_1))
     cases.append(("repart1", sc_1, lambda: data_1, 1, "auto"))
     # ...and the same gathered copy pushed through a jitted identity
@@ -69,10 +69,16 @@ def main():
     # t2sorted: owner-sorted + sentinel-padded scan (GLOBAL y, FULL
     # object per block) -- tests the partition's ordering/sentinels/
     # 8224-length without sub-objects.
-    scan_p2, data_p2, _, sp2 = slabs.partition_slabs(scan, data, g, 2)
+    scan_p2, data_p2, _, sp2, rows2 = slabs.partition_slabs(scan, data, g, 2)
     sc_p2i = jax.jit(patches.scan_to_int)(jnp.asarray(scan_p2))
     tsrt = jax.jit(lambda x, sp=sp2: x.reshape((2, sp) + x.shape[2:]))
     cases.append(("t2sorted", tsrt(sc_p2i), lambda: tsrt(data_p2), 2, "t2"))
+    # ...and the same with the partition's take() output FORCED through
+    # a fresh materialization (x + 0.0): every slow case consumes the
+    # take output, every fast case rebuilds data another way.
+    cases.append(("t2sortedcopy", tsrt(sc_p2i),
+                  lambda: tsrt(jax.jit(lambda x: x + 0.0)(data_p2)),
+                  2, "t2"))
     # sortonly: positions SORTED by y (owner order), NO padding, NO
     # slab structure, t=1, plain kernel -- pure ordering effect.
     perm = np.argsort(np.asarray(scan)[0, :, 0], kind="stable")
@@ -112,10 +118,11 @@ def main():
                        .at[..., 8192:, 1].set(384))(sc_i)
     cases.append(("t2padmidx", scan_mid, dat_t2p, 2, "t2"))
     for d in (2, 4):
-        scan_p, data_p, _, _ = slabs.partition_slabs(scan, data, g, d)
+        scan_p, data_p, _, _, rows_d = slabs.partition_slabs(
+            scan, data, g, d)
         sc_pi = jax.jit(patches.scan_to_int)(jnp.asarray(scan_p))
         cases.append((f"slab{d}", sc_pi,
-                      (lambda dp=data_p: dp), d, "stacked"))
+                      (lambda dp=data_p: dp), d, "stacked", rows_d))
         # PRE-STACKED: the (t*D, s_per, nd, nd) data reshape done ONCE
         # outside the loop -- isolates whether the flat ~3.4 ms/eval
         # stacked overhead is an unhoisted per-call relayout copy of
@@ -124,19 +131,19 @@ def main():
             return jax.jit(lambda x: x.reshape(
                 (x.shape[0] * d, x.shape[1] // d) + x.shape[2:]))(dp)
 
-        cases.append((f"slab{d}pre", sc_pi, dstk, d, "stacked"))
+        cases.append((f"slab{d}pre", sc_pi, dstk, d, "stacked", rows_d))
         # WINDOW control: no reshape at all (prefetch-scalar offsets),
         # D separate dispatches -- separates relayout cost from
         # per-dispatch cost.
         cases.append((f"slab{d}win", sc_pi,
-                      (lambda dp=data_p: dp), d, "window"))
+                      (lambda dp=data_p: dp), d, "window", rows_d))
         # DIRECT control: the raw stacked kernel with ALL slab prep
         # (object pad/stack, scan localization, probe tile) hoisted out
         # of the loop -- the chain carries the stacked object itself.
         # If this matches 'whole', the overhead is the wrappers' object
         # prep; if it stays slow, it is intrinsic to the stacked
         # operand shapes inside the kernel.
-        cases.append((f"slab{d}direct", sc_pi, dstk, d, "direct"))
+        cases.append((f"slab{d}direct", sc_pi, dstk, d, "direct", rows_d))
 
     # padH<H>: slab2's stacked sub-objects (ext=384 rows) zero-padded
     # BELOW to H rows before the kernel (extra rows are never gathered
@@ -144,7 +151,7 @@ def main():
     # production sub-object runs at hz = H + 8; whole-object 512^2
     # (hz=520=pow2+8) is fast while ext=384 (hz=392) is slow, so this
     # scans which block heights Mosaic's dynamic gather likes.
-    scan_p2b, data_p2b, _, _ = slabs.partition_slabs(scan, data, g, 2)
+    scan_p2b, data_p2b, _, _, rows2b = slabs.partition_slabs(scan, data, g, 2)
     sc_p2bi = jax.jit(patches.scan_to_int)(jnp.asarray(scan_p2b))
     for H in (384, 416, 448, 512):
         st2 = jax.jit(lambda p, s_, pr_, H=H: jnp.pad(
@@ -159,8 +166,31 @@ def main():
                           (2, dp.shape[1] // 2) + dp.shape[2:])),
                       2, "padH"))
 
+    # stagger8: slab2 sub-objects (block height 400) with block 1's
+    # rows starting 8 EARLIER (248 instead of 256), so the two blocks'
+    # localized y VALUES differ by 8 everywhere -- tests whether equal
+    # y values ACROSS blocks (the last standing discriminator: padH512
+    # localized slow, t2sortpad global fast) is the trigger.
+    h2 = 256
+    psi_stg = jax.jit(lambda p: jnp.stack([
+        jnp.pad(p, ((0, 0), (0, 136), (0, 0)))[0, 0:400],
+        jnp.pad(p, ((0, 0), (0, 136), (0, 0)))[0, 248:648],
+    ]))(psi0)
+    sp2b = sc_p2bi.shape[1] // 2
+    y2 = sc_p2bi[..., 0]
+    off_k = jnp.where(jnp.arange(sc_p2bi.shape[1]) < sp2b, 0, h2 - 8)
+    y_stg = jnp.where(y2 < 0, y2, y2 - off_k[None, :])
+    sc_stg = jax.jit(lambda ys, s_: jnp.stack(
+        [ys, s_[..., 1]], -1).reshape(2, sp2b, 2))(y_stg, sc_p2bi)
+    cases.append(("stagger8", (psi_stg, sc_stg),
+                  (lambda dp=data_p2b: dp.reshape(
+                      (2, dp.shape[1] // 2) + dp.shape[2:])),
+                  2, "padH"))
+
     for kind in ("minf", "grad"):
-        for name, sc, dat, d, impl in cases:
+        for case in cases:
+            name, sc, dat, d, impl = case[:5]
+            rows = case[5] if len(case) > 5 else None
             if FILT and FILT not in name and name != "whole":
                 continue
             # (data built lazily per case -- keeping every ~1 GB data
@@ -197,8 +227,10 @@ def main():
             elif impl == "direct":
                 if kind == "grad":
                     continue  # minf isolates it; grad adds nothing new
-                st = jax.jit(lambda p, s_, pr_, d=d: slabs._stacked_args(
-                    p, s_, s_[..., :1], None, pr_, d))
+                st = jax.jit(
+                    lambda p, s_, pr_, d=d, rows=rows: slabs._stacked_args(
+                        p, s_, s_[..., :1], None, pr_, d,
+                        slab_rows=rows))
                 psi_st0, scan_st, _, _, prb_st, _ = st(psi0, sc, prb)
 
                 def one(p, prb_, dat_, sc_):
@@ -210,7 +242,7 @@ def main():
                 p0, prb_c, sc_c = psi_st0, prb_st, scan_st
             else:
                 if kind == "minf":
-                    def one(p, prb_, dat_, sc_, d=d, impl=impl):
+                    def one(p, prb_, dat_, sc_, d=d, impl=impl, rows=rows):
                         if d == 1:
                             m = pallas_fused.minf_fused(
                                 p, dat_, sc_, prb_, g.ndet, "gaussian",
@@ -218,11 +250,12 @@ def main():
                         else:
                             m = slabs.minf_fused_slabs(
                                 p, dat_, sc_, prb_, g.ndet, "gaussian",
-                                d, precision=PREC, impl=impl)
+                                d, precision=PREC, impl=impl,
+                                slab_rows=rows)
                         # serialize: multiply by exactly 1 carrying m
                         return p * (1.0 + 0.0 * m)
                 else:
-                    def one(p, prb_, dat_, sc_, d=d, impl=impl):
+                    def one(p, prb_, dat_, sc_, d=d, impl=impl, rows=rows):
                         if d == 1:
                             gr, m = pallas_fused.grad_fused(
                                 p, dat_, sc_, prb_, g.ndet, "gaussian",
@@ -231,7 +264,7 @@ def main():
                             gr, m = slabs.grad_fused_slabs(
                                 p, dat_, sc_, prb_, g.ndet, "gaussian",
                                 d, precision=PREC, adj_precision=None,
-                                impl=impl)
+                                impl=impl, slab_rows=rows)
                         return p + 0.0 * gr
 
                 p0, prb_c, sc_c = psi0, prb, sc

@@ -135,54 +135,66 @@ def plan_slabs(nz: int, n: int, nprb: int, *, planes: int = 4,
 
 def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
                     align: int = 32):
-    """Host-side owner partition of the positions for slab streaming.
+    """Host-side EQUAL-COUNT (quantile) partition of the positions for
+    slab streaming.
 
-    Sorts positions (and their data frames / frozen base farplane
-    frames, gathered on device) into ``n_slabs`` contiguous groups along
-    the scan axis by owner slab ``floor(y) // (nz / n_slabs)``, padding
-    every (theta, slab) group to the global maximum count with sentinel
-    positions (scan row -1, zero frames). The returned scan keeps GLOBAL
-    coordinates -- the slab wrappers localise rows on the fly -- so
-    everything outside the kernels (preconditioners, metrics) works
-    unchanged on the partitioned problem.
+    Sorts positions by y and splits them into ``n_slabs`` contiguous
+    groups of (nearly) equal COUNT; group k's sub-object is the row
+    window ``[row_starts[k], row_starts[k] + ext)`` covering its y-range
+    plus the probe window. This replaced the round-4 owner-by-fixed-row
+    partition, whose groups were structurally IMBALANCED: positions can
+    only start in ``y in [0, nz - nprb)``, so fixed nz/D row strips
+    starve the last slab(s) and every group pads to the largest --
+    measured +33% sentinel-slot FLOPs at D=2 on the 512^2 headline
+    (s_per 10880 vs the balanced 8224), which was the bulk of the
+    "slab overhead" the round-5 mechanism hunt chased (BASELINE.md).
+    Quantile groups also come out y-sorted within, which the same hunt
+    measured as required at high D (+134% at 64 slabs).
 
-    Each group is additionally padded up to a multiple of ``align``
-    (default 32: every production frames-per-step P divides it), which
-    lets the slab wrappers take the ZERO-COPY kernel path -- the
-    mega-kernels window the FULL data/base arrays via a prefetch-scalar
-    block offset (``pallas_fused._window_args``) instead of slicing a
-    slab's frames into a fresh HBM copy every call.
+    The returned scan keeps GLOBAL coordinates -- the slab wrappers
+    localise rows against ``row_starts`` on the fly -- so everything
+    outside the kernels (preconditioners, metrics) works unchanged on
+    the partitioned problem. Each group is padded to a multiple of
+    ``align`` (default 32: every production frames-per-step divides it)
+    with sentinel positions (scan row -1, zero frames), enabling the
+    stacked/zero-copy kernel paths.
 
-    Returns ``(scan_p, data_p, f_base_p, s_per)`` with scan axis length
-    ``n_slabs * s_per``. ``scan`` must be concrete (host-reachable).
+    Returns ``(scan_p, data_p, f_base_p, s_per, slab_rows)`` with scan
+    axis length ``n_slabs * s_per`` and ``slab_rows = (row_starts
+    tuple, ext)`` -- pass it to the slab wrappers (and the solver does,
+    via ``CGOptions.obj_slab_rows``); a wrapper called WITHOUT it
+    assumes the legacy uniform ``k*(nz/D)`` rows, which does NOT match
+    this partition. ``scan`` must be concrete (host-reachable).
     """
     from tikejax.utils import hostio
 
     g = geometry
-    if g.nz % n_slabs:
-        raise ValueError(f"obj_slabs={n_slabs} must divide nz={g.nz}")
-    h = g.nz // n_slabs
     sc = np.asarray(hostio.to_host(scan))
     t, s = sc.shape[:2]
-    y = np.floor(sc[..., 0]).astype(np.int64)
-    owner = np.clip(y // h, 0, n_slabs - 1)
-    s_per = max(int(np.bincount(owner[ti], minlength=n_slabs).max())
-                for ti in range(t))
-    s_per = -(-s_per // align) * align
+    per = -(-s // n_slabs)          # ceil: group size before padding
+    s_per = -(-per // align) * align
     order = np.full((t, n_slabs * s_per), -1, np.int64)
+    lo = np.zeros(n_slabs, np.int64)
+    hi = np.zeros(n_slabs, np.int64)
     for ti in range(t):
+        srt = np.argsort(sc[ti, :, 0], kind="stable")
         for k in range(n_slabs):
-            idx = np.nonzero(owner[ti] == k)[0]
-            # Sort WITHIN the group by y. Semantically any order works,
-            # but the round-5 overhead hunt isolated a ~55%-of-kernel
-            # slowdown to the exact combination {y-restricted group,
-            # sentinel pad, original (random) within-group order} --
-            # the same group y-SORTED with the same sentinels runs at
-            # whole-object speed (BASELINE.md "Slab-overhead mechanism
-            # hunt": t2sorted 9.9 vs t2sortpad 6.5 ms/eval; mechanism
-            # inside Mosaic's dynamic-gather scheduling, not modeled).
-            idx = idx[np.argsort(sc[ti, idx, 0], kind="stable")]
+            idx = srt[k * per:(k + 1) * per]
             order[ti, k * s_per:k * s_per + len(idx)] = idx
+            if len(idx):
+                ys = np.floor(sc[ti, idx, 0]).astype(np.int64)
+                lo[k] = min(lo[k], ys.min()) if ti else ys.min()
+                hi[k] = max(hi[k], ys.max()) if ti else ys.max()
+            elif ti == 0:
+                lo[k] = hi[k] = max(0, g.nz - g.nprb)
+    row_starts = tuple(int(max(0, v)) for v in lo)
+    ext = int(max(hi[k] + g.nprb - row_starts[k]
+                  for k in range(n_slabs)))
+    # Round the window up to a sublane multiple (cheap; keeps the
+    # padded sub-object heights friendly) and never past the padded
+    # object the wrappers build.
+    ext = -(-ext // 8) * 8
+    slab_rows = (row_starts, ext)
     scan_p = np.zeros((t, n_slabs * s_per, 2), sc.dtype)
     scan_p[..., 0] = -1  # sentinel: masked position
     valid = order >= 0
@@ -202,10 +214,22 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
     data_p = take(data)
     f_base_p = (jax.tree.map(take, f_base)
                 if f_base is not None else None)
-    return scan_p, data_p, f_base_p, s_per
+    return scan_p, data_p, f_base_p, s_per, slab_rows
 
 
-def _stacked_args(psi, scan_int, data, base, prb, n_slabs):
+def _slab_geometry(nz, nprb, n_slabs, slab_rows):
+    """(row_starts, ext) for the wrappers: the partition's quantile
+    windows when provided, else the legacy uniform ``k*(nz/D)`` rows
+    (hand-built partitions)."""
+    if slab_rows is None:
+        h = nz // n_slabs
+        return tuple(k * h for k in range(n_slabs)), h + nprb
+    starts, ext = slab_rows
+    return tuple(int(x) for x in starts), int(ext)
+
+
+def _stacked_args(psi, scan_int, data, base, prb, n_slabs,
+                  slab_rows=None):
     """Single-dispatch STACKED-SLAB operands: fold the slab axis into
     the kernels' leading (theta) grid axis.
 
@@ -229,14 +253,14 @@ def _stacked_args(psi, scan_int, data, base, prb, n_slabs):
     nprb = prb.shape[-1]
     s = scan_int.shape[1]
     s_per = s // n_slabs
-    h = nz // n_slabs
-    ext = h + nprb
-    psi_p = jnp.pad(psi, ((0, 0), (0, ext - h), (0, 0)))
-    psi_st = jnp.stack([psi_p[:, k * h:k * h + ext]
-                        for k in range(n_slabs)],
+    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
+    need = max(st + ext for st in starts)
+    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need - nz)), (0, 0)))
+    psi_st = jnp.stack([psi_p[:, st:st + ext] for st in starts],
                        axis=1).reshape(t * n_slabs, ext, n)
     y = scan_int[..., 0]
-    k_of = (jnp.arange(s, dtype=y.dtype) // s_per) * h
+    k_of = jnp.asarray(np.repeat(np.asarray(starts, np.int64), s_per),
+                       dtype=y.dtype)
     y_loc = jnp.where(y < 0, y, y - k_of[None, :])
     scan_st = jnp.stack([y_loc, scan_int[..., 1]],
                         axis=-1).reshape(t * n_slabs, s_per, 2)
@@ -260,21 +284,22 @@ def _stacked_args(psi, scan_int, data, base, prb, n_slabs):
     return psi_st, scan_st, data_st, base_st, prb_st, ext
 
 
-def _overlap_add(g_st, t, n_slabs, nz, n, nprb, dtype):
+def _overlap_add(g_st, t, n_slabs, nz, n, nprb, dtype,
+                 slab_rows=None):
     """Reassemble the stacked per-slab gradients (t*D, ext, n) into the
-    whole-object gradient by overlap-add (adjacent slabs share nprb
-    rows)."""
-    h = nz // n_slabs
-    ext = h + nprb
+    whole-object gradient by overlap-add at each slab's row start
+    (windows may overlap arbitrarily under the quantile partition)."""
+    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
+    need = max(st + ext for st in starts)
     g = g_st.reshape(t, n_slabs, ext, n)
-    acc = jnp.zeros((t, nz + nprb, n), dtype)
+    acc = jnp.zeros((t, max(need, nz), n), dtype)
     for k in range(n_slabs):
-        acc = acc.at[:, k * h:k * h + ext].add(g[:, k])
+        acc = acc.at[:, starts[k]:starts[k] + ext].add(g[:, k])
     return acc[:, :nz]
 
 
 def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
-                   kernel_call, force_sliced=False):
+                   kernel_call, force_sliced=False, slab_rows=None):
     """Python-unrolled slab loop: slab counts are small (<= ~16) and
     every slab call has identical static shapes, so the mega-kernel is
     compiled ONCE. When the partition's per-slab group size is a
@@ -299,20 +324,21 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
             f"scan axis {s} is not partitioned into {n_slabs} slab "
             "groups -- build the problem with ops.slabs.partition_slabs")
     s_per = s // n_slabs
-    h = nz // n_slabs
-    ext = h + nprb
-    psi_p = jnp.pad(psi, ((0, 0), (0, ext - h), (0, 0)))
+    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
+    need = max(st + ext for st in starts)
+    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need - nz)), (0, 0)))
     zero_copy = (s_per % P == 0) and not force_sliced
     if zero_copy:
         # Localise the scan rows for ALL slabs in one vectorized pass
         # over the (tiny) coordinate array; sentinels (y < 0) stay put.
         y = scan_int[..., 0]
-        k_of = (jnp.arange(s, dtype=y.dtype) // s_per) * h
+        k_of = jnp.asarray(np.repeat(np.asarray(starts, np.int64),
+                                     s_per), dtype=y.dtype)
         y_loc = jnp.where(y < 0, y, y - k_of[None, :])
         scan_loc = jnp.stack([y_loc, scan_int[..., 1]], axis=-1)
     out = []
     for k in range(n_slabs):
-        sub = psi_p[:, k * h:k * h + ext]
+        sub = psi_p[:, starts[k]:starts[k] + ext]
         if zero_copy:
             out.append(kernel_call(sub, data, scan_loc, base,
                                    (k * s_per, s_per)))
@@ -320,7 +346,7 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
         sl = slice(k * s_per, (k + 1) * s_per)
         sck = scan_int[:, sl]
         y = sck[..., 0]
-        y_loc = jnp.where(y < 0, y, y - k * h)
+        y_loc = jnp.where(y < 0, y, y - starts[k])
         sck = jnp.stack([y_loc, sck[..., 1]], axis=-1)
         basek = (jax.tree.map(lambda b: b[:, sl], base)
                  if base is not None else None)
@@ -351,7 +377,8 @@ def _pick_impl(impl, scan_int, n_slabs, P):
 def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
                      n_slabs: int, precision=None, base=None,
                      addressing=None, adj_precision=None,
-                     impl: str = "auto", frames: int | None = None):
+                     impl: str = "auto", frames: int | None = None,
+                     slab_rows=None):
     """Slab-streamed :func:`pallas_fused.grad_fused`: same (grad, minf)
     on objects whose gradient mega-kernel would overflow VMEM. Requires
     a slab-partitioned problem (see :func:`partition_slabs`).
@@ -363,19 +390,19 @@ def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
     _slab_unrolled for the measured history)."""
     t, nz, n = psi.shape
     nmodes, nprb = prb.shape[-3], prb.shape[-1]
-    h = nz // n_slabs
-    ext = h + nprb
+    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
     P = pallas_fused._positions_per_step(nmodes, precision, frames)
     mode = _pick_impl(impl, scan_int, n_slabs, P)
     if mode == "stacked":
         psi_st, scan_st, data_st, base_st, prb_st, _ = _stacked_args(
-            psi, scan_int, data, base, prb, n_slabs)
+            psi, scan_int, data, base, prb, n_slabs,
+            slab_rows=slab_rows)
         g_st, f = pallas_fused.grad_fused(
             psi_st, data_st, scan_st, prb_st, ndet, model,
             precision=precision, base=base_st, addressing=addressing,
             adj_precision=adj_precision, frames=frames)
         return _overlap_add(g_st, t, n_slabs, nz, n, nprb,
-                            psi.dtype), f
+                            psi.dtype, slab_rows=slab_rows), f
 
     def call(sub, datk, sck, basek, window):
         return pallas_fused.grad_fused(
@@ -385,11 +412,13 @@ def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
             frames=frames)
 
     outs = _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
-                          call, force_sliced=(mode == "sliced"))
-    acc = jnp.zeros((t, nz + nprb, n), psi.dtype)
+                          call, force_sliced=(mode == "sliced"),
+                          slab_rows=slab_rows)
+    need = max(st + ext for st in starts)
+    acc = jnp.zeros((t, max(need, nz), n), psi.dtype)
     f = jnp.zeros((), jnp.float32)
     for k, (gslab, fk) in enumerate(outs):
-        acc = acc.at[:, k * h:k * h + ext].add(gslab)
+        acc = acc.at[:, starts[k]:starts[k] + ext].add(gslab)
         f = f + fk
     return acc[:, :nz], f
 
@@ -397,7 +426,7 @@ def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
 def minf_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
                      n_slabs: int, precision=None, base=None,
                      addressing=None, impl: str = "auto",
-                     frames: int | None = None):
+                     frames: int | None = None, slab_rows=None):
     """Slab-streamed :func:`pallas_fused.minf_fused` (frameless
     line-search objective) for oversized objects; stacked single
     dispatch by default (see :func:`grad_fused_slabs`)."""
@@ -406,7 +435,8 @@ def minf_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
     mode = _pick_impl(impl, scan_int, n_slabs, P)
     if mode == "stacked":
         psi_st, scan_st, data_st, base_st, prb_st, _ = _stacked_args(
-            psi, scan_int, data, base, prb, n_slabs)
+            psi, scan_int, data, base, prb, n_slabs,
+            slab_rows=slab_rows)
         return pallas_fused.minf_fused(
             psi_st, data_st, scan_st, prb_st, ndet, model,
             precision=precision, base=base_st, addressing=addressing,
@@ -420,14 +450,15 @@ def minf_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
 
     outs = _slab_unrolled(psi, scan_int, data, base, n_slabs,
                           prb.shape[-1], P, call,
-                          force_sliced=(mode == "sliced"))
+                          force_sliced=(mode == "sliced"),
+                          slab_rows=slab_rows)
     return sum(outs[1:], outs[0])
 
 
 def fwd_fused_slabs(psi, scan_int, prb, ndet: int, n_slabs: int,
                     precision=None, addressing=None,
                     split_out: bool = False, impl: str = "auto",
-                    frames: int | None = None):
+                    frames: int | None = None, slab_rows=None):
     """Slab-streamed :func:`pallas_fused.fwd` for oversized objects:
     the forward farplane of a slab-partitioned problem (the deep
     driver's base re-freeze at slab scale -- the whole-object fwd
@@ -452,7 +483,8 @@ def fwd_fused_slabs(psi, scan_int, prb, ndet: int, n_slabs: int,
     mode = _pick_impl(impl, scan_int, n_slabs, P)
     if mode == "stacked":
         psi_st, scan_st, _, _, prb_st, _ = _stacked_args(
-            psi, scan_int, scan_int[..., :1], None, prb, n_slabs)
+            psi, scan_int, scan_int[..., :1], None, prb, n_slabs,
+            slab_rows=slab_rows)
         ore, oim = pallas_fused.fwd(psi_st, scan_st, prb_st, ndet,
                                     precision=precision,
                                     addressing=addressing,
@@ -462,15 +494,15 @@ def fwd_fused_slabs(psi, scan_int, prb, ndet: int, n_slabs: int,
         if split_out:
             return ore, oim
         return lax.complex(ore, oim)
-    h = nz // n_slabs
-    ext = h + nprb
-    psi_p = jnp.pad(psi, ((0, 0), (0, ext - h), (0, 0)))
+    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
+    need = max(st + ext for st in starts)
+    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need - nz)), (0, 0)))
     outs_re, outs_im = [], []
     for k in range(n_slabs):
-        sub = psi_p[:, k * h:k * h + ext]
+        sub = psi_p[:, starts[k]:starts[k] + ext]
         sck = scan_int[:, k * s_per:(k + 1) * s_per]
         y = sck[..., 0]
-        y_loc = jnp.where(y < 0, y, y - k * h)
+        y_loc = jnp.where(y < 0, y, y - starts[k])
         sck = jnp.stack([y_loc, sck[..., 1]], axis=-1)
         ore, oim = pallas_fused.fwd(sub, sck, prb, ndet,
                                     precision=precision,
@@ -488,7 +520,8 @@ def fwd_fused_slabs(psi, scan_int, prb, ndet: int, n_slabs: int,
 def grad_prb_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
                          n_slabs: int, precision=None,
                          addressing=None, adj_precision=None,
-                         impl: str = "auto", frames: int | None = None):
+                         impl: str = "auto", frames: int | None = None,
+                         slab_rows=None):
     """Slab-streamed :func:`pallas_fused.grad_prb_fused` (joint probe
     recovery): probe gradients accumulate across slabs (the probe is
     global; each frame contributes once, in its owner slab). Stacked
@@ -500,7 +533,8 @@ def grad_prb_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
     mode = _pick_impl(impl, scan_int, n_slabs, P)
     if mode == "stacked":
         psi_st, scan_st, data_st, _, prb_st, _ = _stacked_args(
-            psi, scan_int, data, None, prb, n_slabs)
+            psi, scan_int, data, None, prb, n_slabs,
+            slab_rows=slab_rows)
         g_st, f = pallas_fused.grad_prb_fused(
             psi_st, data_st, scan_st, prb_st, ndet, model,
             precision=precision, addressing=addressing,
@@ -516,7 +550,8 @@ def grad_prb_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
 
     outs = _slab_unrolled(psi, scan_int, data, None, n_slabs,
                           prb.shape[-1], P, call,
-                          force_sliced=(mode == "sliced"))
+                          force_sliced=(mode == "sliced"),
+                          slab_rows=slab_rows)
     g = sum((o[0] for o in outs[1:]), outs[0][0])
     f = sum((o[1] for o in outs[1:]), outs[0][1])
     return g, f

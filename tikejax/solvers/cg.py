@@ -300,6 +300,13 @@ class CGOptions:
     # (the caller owns the slab count). Only meaningful with
     # obj_slabs > 1.
     obj_slabs_partitioned: bool = False
+    # The quantile partition's row windows, ((row_start, ...), ext) --
+    # produced by ops.slabs.partition_slabs (5th return) and threaded
+    # to every slab wrapper. A hashable tuple: it rides as part of this
+    # static options argument, so a new partition recompiles exactly
+    # when the windows change (they change only with the scan). None =
+    # legacy uniform k*(nz/D) rows.
+    obj_slab_rows: tuple | None = None
     # Per-call frames-per-kernel-step override for the fused kernels
     # (None = the measured tier default, pallas_fused._default_frames).
     # Two uses (round 5): (a) the slab planner LOWERS it for very wide
@@ -588,7 +595,9 @@ class _Engine:
                 raise ValueError("obj_slabs composes with single-device "
                                  "runs only; on a mesh use "
                                  "parallel.run_tiled (P3 object tiling)")
-            if g.nz % o.obj_slabs:
+            if o.obj_slab_rows is None and g.nz % o.obj_slabs:
+                # Legacy uniform rows need the divisibility; the
+                # quantile partition (obj_slab_rows set) does not.
                 raise ValueError(f"obj_slabs ({o.obj_slabs}) must divide "
                                  f"nz ({g.nz})")
         # Split-operator refinement mode (mixed precision): psi is a small
@@ -693,7 +702,8 @@ class _Engine:
                             psi, data, scan_i, prb, self.g.ndet, o.model,
                             o.obj_slabs, precision=prec,
                             base=self.f_base, adj_precision=adj_prec,
-                            frames=o.kernel_frames)
+                            frames=o.kernel_frames,
+                            slab_rows=o.obj_slab_rows)
                     else:
                         gpsi, f0 = pallas_fused.grad_fused(
                             psi, data, scan_i, prb, self.g.ndet, o.model,
@@ -727,7 +737,8 @@ class _Engine:
                         psi, data, scan_i, prb, self.g.ndet, o.model,
                         o.obj_slabs, precision=prec,
                         adj_precision=adj_prec,
-                        frames=o.kernel_frames)
+                        frames=o.kernel_frames,
+                        slab_rows=o.obj_slab_rows)
                 else:
                     gprb, f0 = pallas_fused.grad_prb_fused(
                         psi, data, scan_i, prb, self.g.ndet, o.model,
@@ -843,7 +854,8 @@ class _Engine:
                                 p, data, scan_i, b, self.g.ndet, o.model,
                                 o.obj_slabs, precision=prec,
                                 base=self.f_base,
-                                frames=o.kernel_frames)
+                                frames=o.kernel_frames,
+                                slab_rows=o.obj_slab_rows)
                     else:
                         def minf_eval(p, b):
                             return pallas_fused.minf_fused(
@@ -1735,9 +1747,10 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
             eff = (kframes if kframes is not None
                    else pallas_fused._default_frames(fit_kw["precision"]))
             align = 32 * eff // math.gcd(32, eff)
-            scan, data, f_base, s_per = _slabs.partition_slabs(
+            scan, data, f_base, s_per, rows = _slabs.partition_slabs(
                 scan0, data0, geo0, nslab, f_base=f_base0, align=align)
             geometry = dataclasses.replace(geo0, nscan=nslab * s_per)
+            options = dataclasses.replace(options, obj_slab_rows=rows)
         try:
             out = _run_cg_jit(geometry, options, data, psi0, scan,
                               prb0, f_base, cg_init)

@@ -450,12 +450,13 @@ def _maybe_slab_partition(data, scan, g, prb0, options, method, tiers,
     eff = max((kframes if kframes is not None
                else pallas_fused._default_frames(pr)) for pr in precs)
     align = 32 * eff // math.gcd(32, eff)
-    scan, data, _, s_per = _slabs.partition_slabs(scan, data, g, nslab,
-                                                  align=align)
+    scan, data, _, s_per, rows = _slabs.partition_slabs(
+        scan, data, g, nslab, align=align)
     g = dataclasses.replace(g, nscan=nslab * s_per)
     options = dataclasses.replace(options, obj_slabs=nslab,
                                   obj_slabs_partitioned=True,
-                                  kernel_frames=kframes)
+                                  kernel_frames=kframes,
+                                  obj_slab_rows=rows)
     return data, scan, g, options
 
 
@@ -499,7 +500,8 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
             # planes in VMEM and overflows past side ~1400, so the base
             # freeze streams over the same row slabs as the solver.
             fwd_base = _make_fwd_base_slabs(g, base, nslab,
-                                            options.kernel_frames)
+                                            options.kernel_frames,
+                                            options.obj_slab_rows)
         else:
             def fwd_base(psi_, scan_, prb_):
                 return _fwd_jit(psi_, scan_, prb_, g.ndet, base)
@@ -617,14 +619,16 @@ def _reconstruct_split(data, psi0, scan, prb, g, target, segment,
             and int(np.prod(g.farplane_shape))
             * jnp.dtype(psi.dtype).itemsize > _SAFEGUARD_FRAMELESS_BYTES):
         minf_base_fn = _make_minf_base(g, base, nslab,
-                                       options.kernel_frames)
+                                       options.kernel_frames,
+                                       options.obj_slab_rows)
         # Same regime: keep the frozen base as the (re, im) f32 split
         # pair end-to-end -- the DFT kernel emits the pair anyway and
         # the refinement kernels consume it, so the complex copy (which
         # would hold 2x the base bytes live inside the solver program)
         # never exists.
         fwd_base = _make_fwd_base_split(g, base, nslab,
-                                        options.kernel_frames)
+                                        options.kernel_frames,
+                                        options.obj_slab_rows)
 
     prev = None
     flat = 0
@@ -832,7 +836,8 @@ def _anderson_step(psis, deltas, data, scan, prb, fwd_base):
 _SAFEGUARD_FRAMELESS_BYTES = 3 << 30
 
 
-def _make_minf_base(g, base, n_slabs: int = 1, frames=None):
+def _make_minf_base(g, base, n_slabs: int = 1, frames=None,
+                    slab_rows=None):
     """Frameless accurate-tier objective evaluator psi -> global
     gaussian minf (pallas_fused.minf_fused at the base kernel's
     precision: every farplane frame lives only in VMEM). Used by the
@@ -855,14 +860,16 @@ def _make_minf_base(g, base, n_slabs: int = 1, frames=None):
             return _slabs.minf_fused_slabs(psi_, data_, scan_i, prb_,
                                            ndet, "gaussian", n_slabs,
                                            precision=prec,
-                                           frames=frames)
+                                           frames=frames,
+                                           slab_rows=slab_rows)
         return pallas_fused.minf_fused(psi_, data_, scan_i, prb_, ndet,
                                        "gaussian", precision=prec)
 
     return minf_base
 
 
-def _make_fwd_base_slabs(g, base, n_slabs: int, frames=None):
+def _make_fwd_base_slabs(g, base, n_slabs: int, frames=None,
+                         slab_rows=None):
     """Slab-streamed base freeze: complex farplane of the partitioned
     problem via ops.slabs.fwd_fused_slabs (frame order matches the
     partitioned scan axis; sentinels emit zero frames)."""
@@ -876,12 +883,14 @@ def _make_fwd_base_slabs(g, base, n_slabs: int, frames=None):
     def fwd_base(psi_, scan_, prb_):
         scan_i = _patches.scan_to_int(scan_)
         return _slabs.fwd_fused_slabs(psi_, scan_i, prb_, ndet, n_slabs,
-                                      precision=prec, frames=frames)
+                                      precision=prec, frames=frames,
+                                      slab_rows=slab_rows)
 
     return fwd_base
 
 
-def _make_fwd_base_split(g, base, n_slabs: int = 1, frames=None):
+def _make_fwd_base_split(g, base, n_slabs: int = 1, frames=None,
+                         slab_rows=None):
     """Base-tier forward that emits the frozen farplane as the raw
     (re, im) f32 split pair (pallas_fused.fwd(split_out=True)) instead
     of assembling the complex array. Numerically identical to fwd_raw
@@ -904,7 +913,8 @@ def _make_fwd_base_split(g, base, n_slabs: int = 1, frames=None):
         if n_slabs > 1:
             return _slabs.fwd_fused_slabs(psi_, scan_i, prb_, ndet,
                                           n_slabs, precision=prec,
-                                          split_out=True, frames=frames)
+                                          split_out=True, frames=frames,
+                                          slab_rows=slab_rows)
         return pallas_fused.fwd(psi_, scan_i, prb_, ndet, precision=prec,
                                 split_out=True)
 
