@@ -37,6 +37,18 @@ CFGS = {
                         nprb=128), opts={}),
     "512x2": dict(g=dict(nz=512, n=512, nscan=16384, ndet=128,
                          nprb=128), opts=dict(obj_slabs=2)),
+    "1024x2": dict(g=dict(nz=1024, n=1024, nscan=16384, ndet=128,
+                          nprb=128), opts=dict(obj_slabs=2)),
+    # tall-narrow control: same height/positions as 1024 but headline
+    # WIDTH -- discriminates object-width cost (gather stride) from
+    # height/slab cost in the 1024's 40-vs-75 iters/s gap.
+    "1024tall": dict(g=dict(nz=1024, n=512, nscan=16384, ndet=128,
+                            nprb=128), opts=dict(obj_slabs=2)),
+    # wide-short control: headline height, 1024 width, no slabs needed?
+    # (nz=512 n=1024 whole-object: 4 planes of 520x1160 f32 = 9.7 MB --
+    # fits; isolates pure width cost at D=1.)
+    "512wide": dict(g=dict(nz=512, n=1024, nscan=16384, ndet=128,
+                           nprb=128), opts={}),
     "big": dict(g=dict(nz=1024, n=1024, nscan=65536, ndet=128,
                        nprb=128), opts={}),
 }
