@@ -49,6 +49,17 @@ CFGS = {
     # fits; isolates pure width cost at D=1.)
     "512wide": dict(g=dict(nz=512, n=1024, nscan=16384, ndet=128,
                            nprb=128), opts={}),
+    # 2-D quantile tiles (round-5 late): column windows drop the
+    # gather's parent width back to headline scale.
+    "512wide2c": dict(g=dict(nz=512, n=1024, nscan=16384, ndet=128,
+                             nprb=128),
+                      opts=dict(obj_slabs=1, obj_slab_cols=2)),
+    "1024t22": dict(g=dict(nz=1024, n=1024, nscan=16384, ndet=128,
+                           nprb=128),
+                    opts=dict(obj_slabs=2, obj_slab_cols=2)),
+    "2048t84": dict(g=dict(nz=2048, n=2048, nscan=16384, ndet=128,
+                           nprb=128),
+                    opts=dict(obj_slabs=8, obj_slab_cols=4)),
     "big": dict(g=dict(nz=1024, n=1024, nscan=65536, ndet=128,
                        nprb=128), opts={}),
 }

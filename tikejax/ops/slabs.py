@@ -134,7 +134,7 @@ def plan_slabs(nz: int, n: int, nprb: int, *, planes: int = 4,
 
 
 def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
-                    align: int = 32):
+                    align: int = 32, n_cols: int = 1):
     """Host-side EQUAL-COUNT (quantile) partition of the positions for
     slab streaming.
 
@@ -171,30 +171,62 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
     g = geometry
     sc = np.asarray(hostio.to_host(scan))
     t, s = sc.shape[:2]
-    per = -(-s // n_slabs)          # ceil: group size before padding
+    ngrp = n_slabs * n_cols
+    per_r = -(-s // n_slabs)        # ceil: per y-group before x split
+    per = -(-per_r // n_cols)       # ceil: final group size
     s_per = -(-per // align) * align
-    order = np.full((t, n_slabs * s_per), -1, np.int64)
-    lo = np.zeros(n_slabs, np.int64)
-    hi = np.zeros(n_slabs, np.int64)
+    order = np.full((t, ngrp * s_per), -1, np.int64)
+    ylo = np.zeros(ngrp, np.int64)
+    yhi = np.zeros(ngrp, np.int64)
+    xlo = np.zeros(ngrp, np.int64)
+    xhi = np.zeros(ngrp, np.int64)
     for ti in range(t):
         srt = np.argsort(sc[ti, :, 0], kind="stable")
-        for k in range(n_slabs):
-            idx = srt[k * per:(k + 1) * per]
-            order[ti, k * s_per:k * s_per + len(idx)] = idx
-            if len(idx):
-                ys = np.floor(sc[ti, idx, 0]).astype(np.int64)
-                lo[k] = min(lo[k], ys.min()) if ti else ys.min()
-                hi[k] = max(hi[k], ys.max()) if ti else ys.max()
-            elif ti == 0:
-                lo[k] = hi[k] = max(0, g.nz - g.nprb)
-    row_starts = tuple(int(max(0, v)) for v in lo)
-    ext = int(max(hi[k] + g.nprb - row_starts[k]
-                  for k in range(n_slabs)))
+        for kr in range(n_slabs):
+            ridx = srt[kr * per_r:(kr + 1) * per_r]
+            # x-quantile split WITHIN the y-group (n_cols == 1 is the
+            # plain row partition); each tile stays y-sorted within by
+            # using a stable x-majority... keep y-sort inside each
+            # x-chunk via stable argsort on x then re-sort chunks by y.
+            if n_cols > 1 and len(ridx):
+                xsrt = ridx[np.argsort(sc[ti, ridx, 1], kind="stable")]
+            else:
+                xsrt = ridx
+            for kc in range(n_cols):
+                k = kr * n_cols + kc
+                idx = xsrt[kc * per:(kc + 1) * per]
+                if n_cols > 1 and len(idx):
+                    # restore y-order within the tile (the measured
+                    # high-D ordering win).
+                    idx = idx[np.argsort(sc[ti, idx, 0],
+                                         kind="stable")]
+                order[ti, k * s_per:k * s_per + len(idx)] = idx
+                if len(idx):
+                    ys = np.floor(sc[ti, idx, 0]).astype(np.int64)
+                    xs = np.floor(sc[ti, idx, 1]).astype(np.int64)
+                    ylo[k] = min(ylo[k], ys.min()) if ti else ys.min()
+                    yhi[k] = max(yhi[k], ys.max()) if ti else ys.max()
+                    xlo[k] = min(xlo[k], xs.min()) if ti else xs.min()
+                    xhi[k] = max(xhi[k], xs.max()) if ti else xs.max()
+                elif ti == 0:
+                    ylo[k] = yhi[k] = max(0, g.nz - g.nprb)
+                    xlo[k] = xhi[k] = 0
+    row_starts = tuple(int(max(0, v)) for v in ylo)
+    ext = int(max(yhi[k] + g.nprb - row_starts[k]
+                  for k in range(ngrp)))
     # Round the window up to a sublane multiple (cheap; keeps the
     # padded sub-object heights friendly) and never past the padded
     # object the wrappers build.
     ext = -(-ext // 8) * 8
-    slab_rows = (row_starts, ext)
+    if n_cols > 1:
+        col_starts = tuple(int(max(0, v)) for v in xlo)
+        ext_w = int(max(xhi[k] + g.nprb - col_starts[k]
+                        for k in range(ngrp)))
+        ext_w = -(-ext_w // 128) * 128  # lane-group multiple
+        slab_rows = (row_starts, col_starts, ext, ext_w)
+    else:
+        slab_rows = (row_starts, ext)
+    n_slabs = ngrp
     scan_p = np.zeros((t, n_slabs * s_per, 2), sc.dtype)
     scan_p[..., 0] = -1  # sentinel: masked position
     valid = order >= 0
@@ -217,15 +249,23 @@ def partition_slabs(scan, data, geometry, n_slabs: int, f_base=None,
     return scan_p, data_p, f_base_p, s_per, slab_rows
 
 
-def _slab_geometry(nz, nprb, n_slabs, slab_rows):
-    """(row_starts, ext) for the wrappers: the partition's quantile
-    windows when provided, else the legacy uniform ``k*(nz/D)`` rows
-    (hand-built partitions)."""
+def _slab_geometry(nz, nprb, n_slabs, slab_rows, n=None):
+    """Per-group windows for the wrappers:
+    ``(row_starts, col_starts, ext_h, ext_w)``. Accepts the partition's
+    2-tuple (rows only) or 4-tuple (2-D tiles) forms; None = the legacy
+    uniform ``k*(nz/D)`` full-width rows (hand-built partitions).
+    ``n`` (object width) is needed for the full-width forms."""
     if slab_rows is None:
         h = nz // n_slabs
-        return tuple(k * h for k in range(n_slabs)), h + nprb
-    starts, ext = slab_rows
-    return tuple(int(x) for x in starts), int(ext)
+        return (tuple(k * h for k in range(n_slabs)),
+                (0,) * n_slabs, h + nprb, n)
+    if len(slab_rows) == 2:
+        starts, ext = slab_rows
+        return (tuple(int(x) for x in starts), (0,) * len(starts),
+                int(ext), n)
+    sy, sx, eh, ew = slab_rows
+    return (tuple(int(x) for x in sy), tuple(int(x) for x in sx),
+            int(eh), int(ew))
 
 
 def _stacked_args(psi, scan_int, data, base, prb, n_slabs,
@@ -253,16 +293,27 @@ def _stacked_args(psi, scan_int, data, base, prb, n_slabs,
     nprb = prb.shape[-1]
     s = scan_int.shape[1]
     s_per = s // n_slabs
-    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
-    need = max(st + ext for st in starts)
-    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need - nz)), (0, 0)))
-    psi_st = jnp.stack([psi_p[:, st:st + ext] for st in starts],
-                       axis=1).reshape(t * n_slabs, ext, n)
+    sy_st, sx_st, ext, ext_w = _slab_geometry(nz, nprb, n_slabs,
+                                              slab_rows, n)
+    need_h = max(st + ext for st in sy_st)
+    need_w = max(st + ext_w for st in sx_st)
+    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need_h - nz)),
+                          (0, max(0, need_w - n))))
+    psi_st = jnp.stack([psi_p[:, sy_st[k]:sy_st[k] + ext,
+                              sx_st[k]:sx_st[k] + ext_w]
+                        for k in range(n_slabs)],
+                       axis=1).reshape(t * n_slabs, ext, ext_w)
     y = scan_int[..., 0]
-    k_of = jnp.asarray(np.repeat(np.asarray(starts, np.int64), s_per),
+    x = scan_int[..., 1]
+    k_of = jnp.asarray(np.repeat(np.asarray(sy_st, np.int64), s_per),
                        dtype=y.dtype)
     y_loc = jnp.where(y < 0, y, y - k_of[None, :])
-    scan_st = jnp.stack([y_loc, scan_int[..., 1]],
+    kx_of = jnp.asarray(np.repeat(np.asarray(sx_st, np.int64), s_per),
+                        dtype=x.dtype)
+    # Sentinels are masked by y < 0 but their x still feeds the raw
+    # gather addressing -- clamp it to 0 instead of localizing.
+    x_loc = jnp.where(y < 0, 0, x - kx_of[None, :])
+    scan_st = jnp.stack([y_loc, x_loc],
                         axis=-1).reshape(t * n_slabs, s_per, 2)
 
     def stk(b):
@@ -289,13 +340,16 @@ def _overlap_add(g_st, t, n_slabs, nz, n, nprb, dtype,
     """Reassemble the stacked per-slab gradients (t*D, ext, n) into the
     whole-object gradient by overlap-add at each slab's row start
     (windows may overlap arbitrarily under the quantile partition)."""
-    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
-    need = max(st + ext for st in starts)
-    g = g_st.reshape(t, n_slabs, ext, n)
-    acc = jnp.zeros((t, max(need, nz), n), dtype)
+    sy_st, sx_st, ext, ext_w = _slab_geometry(nz, nprb, n_slabs,
+                                              slab_rows, n)
+    need_h = max(st + ext for st in sy_st)
+    need_w = max(st + ext_w for st in sx_st)
+    g = g_st.reshape(t, n_slabs, ext, ext_w)
+    acc = jnp.zeros((t, max(need_h, nz), max(need_w, n)), dtype)
     for k in range(n_slabs):
-        acc = acc.at[:, starts[k]:starts[k] + ext].add(g[:, k])
-    return acc[:, :nz]
+        acc = acc.at[:, sy_st[k]:sy_st[k] + ext,
+                     sx_st[k]:sx_st[k] + ext_w].add(g[:, k])
+    return acc[:, :nz, :n]
 
 
 def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
@@ -324,21 +378,29 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
             f"scan axis {s} is not partitioned into {n_slabs} slab "
             "groups -- build the problem with ops.slabs.partition_slabs")
     s_per = s // n_slabs
-    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
-    need = max(st + ext for st in starts)
-    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need - nz)), (0, 0)))
+    sy_st, sx_st, ext, ext_w = _slab_geometry(nz, nprb, n_slabs,
+                                              slab_rows, n)
+    need_h = max(st + ext for st in sy_st)
+    need_w = max(st + ext_w for st in sx_st)
+    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need_h - nz)),
+                          (0, max(0, need_w - n))))
     zero_copy = (s_per % P == 0) and not force_sliced
     if zero_copy:
-        # Localise the scan rows for ALL slabs in one vectorized pass
+        # Localise the scan coords for ALL slabs in one vectorized pass
         # over the (tiny) coordinate array; sentinels (y < 0) stay put.
         y = scan_int[..., 0]
-        k_of = jnp.asarray(np.repeat(np.asarray(starts, np.int64),
+        x = scan_int[..., 1]
+        k_of = jnp.asarray(np.repeat(np.asarray(sy_st, np.int64),
                                      s_per), dtype=y.dtype)
+        kx_of = jnp.asarray(np.repeat(np.asarray(sx_st, np.int64),
+                                      s_per), dtype=x.dtype)
         y_loc = jnp.where(y < 0, y, y - k_of[None, :])
-        scan_loc = jnp.stack([y_loc, scan_int[..., 1]], axis=-1)
+        x_loc = jnp.where(y < 0, 0, x - kx_of[None, :])
+        scan_loc = jnp.stack([y_loc, x_loc], axis=-1)
     out = []
     for k in range(n_slabs):
-        sub = psi_p[:, starts[k]:starts[k] + ext]
+        sub = psi_p[:, sy_st[k]:sy_st[k] + ext,
+                    sx_st[k]:sx_st[k] + ext_w]
         if zero_copy:
             out.append(kernel_call(sub, data, scan_loc, base,
                                    (k * s_per, s_per)))
@@ -346,8 +408,9 @@ def _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
         sl = slice(k * s_per, (k + 1) * s_per)
         sck = scan_int[:, sl]
         y = sck[..., 0]
-        y_loc = jnp.where(y < 0, y, y - starts[k])
-        sck = jnp.stack([y_loc, sck[..., 1]], axis=-1)
+        y_loc = jnp.where(y < 0, y, y - sy_st[k])
+        x_loc = jnp.where(y < 0, 0, sck[..., 1] - sx_st[k])
+        sck = jnp.stack([y_loc, x_loc], axis=-1)
         basek = (jax.tree.map(lambda b: b[:, sl], base)
                  if base is not None else None)
         out.append(kernel_call(sub, data[:, sl], sck, basek, None))
@@ -390,7 +453,8 @@ def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
     _slab_unrolled for the measured history)."""
     t, nz, n = psi.shape
     nmodes, nprb = prb.shape[-3], prb.shape[-1]
-    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
+    sy_st, sx_st, ext, ext_w = _slab_geometry(nz, nprb, n_slabs,
+                                              slab_rows, n)
     P = pallas_fused._positions_per_step(nmodes, precision, frames)
     mode = _pick_impl(impl, scan_int, n_slabs, P)
     if mode == "stacked":
@@ -414,13 +478,15 @@ def grad_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
     outs = _slab_unrolled(psi, scan_int, data, base, n_slabs, nprb, P,
                           call, force_sliced=(mode == "sliced"),
                           slab_rows=slab_rows)
-    need = max(st + ext for st in starts)
-    acc = jnp.zeros((t, max(need, nz), n), psi.dtype)
+    need_h = max(st + ext for st in sy_st)
+    need_w = max(st + ext_w for st in sx_st)
+    acc = jnp.zeros((t, max(need_h, nz), max(need_w, n)), psi.dtype)
     f = jnp.zeros((), jnp.float32)
     for k, (gslab, fk) in enumerate(outs):
-        acc = acc.at[:, starts[k]:starts[k] + ext].add(gslab)
+        acc = acc.at[:, sy_st[k]:sy_st[k] + ext,
+                     sx_st[k]:sx_st[k] + ext_w].add(gslab)
         f = f + fk
-    return acc[:, :nz], f
+    return acc[:, :nz, :n], f
 
 
 def minf_fused_slabs(psi, data, scan_int, prb, ndet: int, model: str,
@@ -494,16 +560,21 @@ def fwd_fused_slabs(psi, scan_int, prb, ndet: int, n_slabs: int,
         if split_out:
             return ore, oim
         return lax.complex(ore, oim)
-    starts, ext = _slab_geometry(nz, nprb, n_slabs, slab_rows)
-    need = max(st + ext for st in starts)
-    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need - nz)), (0, 0)))
+    sy_st, sx_st, ext, ext_w = _slab_geometry(nz, nprb, n_slabs,
+                                              slab_rows, n)
+    need_h = max(st + ext for st in sy_st)
+    need_w = max(st + ext_w for st in sx_st)
+    psi_p = jnp.pad(psi, ((0, 0), (0, max(0, need_h - nz)),
+                          (0, max(0, need_w - n))))
     outs_re, outs_im = [], []
     for k in range(n_slabs):
-        sub = psi_p[:, starts[k]:starts[k] + ext]
+        sub = psi_p[:, sy_st[k]:sy_st[k] + ext,
+                    sx_st[k]:sx_st[k] + ext_w]
         sck = scan_int[:, k * s_per:(k + 1) * s_per]
         y = sck[..., 0]
-        y_loc = jnp.where(y < 0, y, y - starts[k])
-        sck = jnp.stack([y_loc, sck[..., 1]], axis=-1)
+        y_loc = jnp.where(y < 0, y, y - sy_st[k])
+        x_loc = jnp.where(y < 0, 0, sck[..., 1] - sx_st[k])
+        sck = jnp.stack([y_loc, x_loc], axis=-1)
         ore, oim = pallas_fused.fwd(sub, sck, prb, ndet,
                                     precision=precision,
                                     addressing=addressing, split_out=True,

@@ -307,6 +307,14 @@ class CGOptions:
     # when the windows change (they change only with the scan). None =
     # legacy uniform k*(nz/D) rows.
     obj_slab_rows: tuple | None = None
+    # Column count for 2-D quantile TILES (round-5 late): the in-kernel
+    # patch gather pays ~2x at >=1024-lane object widths (measured:
+    # 512-tall x 1024-wide runs 38.9 vs 75.0 iters/s with NO slabs --
+    # pure width), so wide objects split each y-group into x-quantile
+    # column windows too. obj_slabs counts ROW groups on input; after
+    # the partition the engine sees obj_slabs = rows * cols tile
+    # groups. 1 = rows only.
+    obj_slab_cols: int = 1
     # Per-call frames-per-kernel-step override for the fused kernels
     # (None = the measured tier default, pallas_fused._default_frames).
     # Two uses (round 5): (a) the slab planner LOWERS it for very wide
@@ -1710,6 +1718,8 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
                   precision=diffraction._fused_precision(resolved),
                   joint=options.recover_prb)
     nslab = options.obj_slabs
+    if options.obj_slab_cols < 1:
+        raise ValueError("obj_slab_cols must be >= 1")
     kframes = options.kernel_frames
     memo_key = (geometry.nz, geometry.n, geometry.nprb, geometry.ndet,
                 fit_kw["nmodes"], fit_kw["precision"], fit_kw["joint"])
@@ -1738,7 +1748,7 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
     while True:
         options = dataclasses.replace(options, obj_slabs=nslab,
                                       kernel_frames=kframes)
-        if nslab > 1:
+        if nslab > 1 or options.obj_slab_cols > 1:
             if isinstance(scan0, jax.core.Tracer):
                 raise ValueError(
                     "obj_slabs needs concrete scan positions for the "
@@ -1748,9 +1758,12 @@ def run(data, psi0, scan, prb0, geometry: Geometry,
                    else pallas_fused._default_frames(fit_kw["precision"]))
             align = 32 * eff // math.gcd(32, eff)
             scan, data, f_base, s_per, rows = _slabs.partition_slabs(
-                scan0, data0, geo0, nslab, f_base=f_base0, align=align)
-            geometry = dataclasses.replace(geo0, nscan=nslab * s_per)
-            options = dataclasses.replace(options, obj_slab_rows=rows)
+                scan0, data0, geo0, nslab, f_base=f_base0, align=align,
+                n_cols=options.obj_slab_cols)
+            geometry = dataclasses.replace(geo0, nscan=scan.shape[1])
+            options = dataclasses.replace(
+                options, obj_slab_rows=rows,
+                obj_slabs=nslab * options.obj_slab_cols)
         try:
             out = _run_cg_jit(geometry, options, data, psi0, scan,
                               prb0, f_base, cg_init)
